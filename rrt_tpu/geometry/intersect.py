@@ -1,0 +1,179 @@
+"""Primitive intersection: batched Möller–Trumbore and sphere tests, plus a
+chunked brute-force closest-hit/any-hit query.
+
+Semantics mirror the reference exactly:
+
+* triangles (`triangle.cpp:25-55`): s1=d×e2, s2=s×e1, denom=s1·e1,
+  t = s2·e2/denom, b1 = s1·s/denom, b2 = s2·d/denom, accept when
+  min_t ≤ t ≤ max_t and b0,b1,b2 ≥ 0; the shading normal is the
+  *unnormalized* barycentric blend of vertex normals.
+* spheres (`sphere.cpp:10-53`): quadratic with near root preferred, far
+  root accepted when the origin is inside; normal = (p−c)/r.
+
+The brute-force query is the reference's `ACCEL == 0` mode (`bvh.h:4`,
+`bvh.cpp:55-57`) reborn as the TPU-dense path: a `lax.scan` over fixed
+triangle chunks keeps the working set in VMEM and lets XLA fuse the whole
+test into vector ops; the closest hit is a running min over chunks instead
+of mutable `r.max_t` narrowing.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rrt_tpu.types import Hit, Rays, SceneData
+
+BIG = 1e30
+
+
+def tri_intersect(o, d, min_t, max_t, v0, v1, v2, valid):
+    """Test rays (...,3) against a chunk of triangles (C,3).
+
+    Returns (ok (...,C), t, b1, b2). Inputs broadcast: rays get a
+    trailing chunk axis.
+    """
+    o = o[..., None, :]
+    d = d[..., None, :]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    s = o - v0
+    s1 = jnp.cross(d, e2)
+    s2 = jnp.cross(s, e1)
+    denom = jnp.sum(s1 * e1, axis=-1)
+    inv = 1.0 / denom
+    t = jnp.sum(s2 * e2, axis=-1) * inv
+    b1 = jnp.sum(s1 * s, axis=-1) * inv
+    b2 = jnp.sum(s2 * d, axis=-1) * inv
+    b0 = 1.0 - b1 - b2
+    ok = (
+        (min_t[..., None] <= t)
+        & (t <= max_t[..., None])
+        & (b0 >= 0)
+        & (b1 >= 0)
+        & (b2 >= 0)
+        & valid
+    )
+    return ok, t, b1, b2
+
+
+def sphere_intersect(o, d, min_t, max_t, center, radius):
+    """Test rays (...,3) against spheres (S,3)/(S,).
+
+    Returns (ok (...,S), t) with the reference's near-then-far root
+    acceptance (sphere.cpp:26-53).
+    """
+    tmp = o[..., None, :] - center
+    b = 2.0 * jnp.sum(tmp * d[..., None, :], axis=-1)
+    c = jnp.sum(tmp * tmp, axis=-1) - radius * radius
+    disc = b * b - 4.0 * c
+    has = disc >= 0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-b - sq) / 2.0
+    t2 = (-b + sq) / 2.0
+    ok1 = (min_t[..., None] <= t1) & (t1 <= max_t[..., None])
+    ok2 = (min_t[..., None] <= t2) & (t2 <= max_t[..., None])
+    t = jnp.where(ok1, t1, t2)
+    ok = has & (ok1 | ok2) & (radius > 0)
+    return ok, t
+
+
+def closest_hit_brute(
+    scene: SceneData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    min_t: jnp.ndarray,
+    max_t: jnp.ndarray,
+    chunk: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Closest hit over all primitives by chunked scan.
+
+    Returns (hit, t, prim_id, b1, b2) where prim_id indexes triangles first
+    then spheres (scene flat primitive space); b1/b2 are barycentrics for
+    triangle hits (zero for spheres).
+    """
+    n_t = scene.n_tris
+    chunk = min(chunk, n_t)
+    n_chunks = n_t // chunk
+    assert n_chunks * chunk == n_t, "triangle count must be chunk-padded"
+
+    shape = o.shape[:-1]
+    init = (
+        jnp.full(shape, jnp.inf, o.dtype),          # best t
+        jnp.full(shape, -1, jnp.int32),             # best prim
+        jnp.zeros(shape, o.dtype),                  # b1
+        jnp.zeros(shape, o.dtype),                  # b2
+    )
+
+    tri_valid = scene.tri_bsdf >= 0
+
+    def body(carry, ci):
+        bt, bp, bb1, bb2 = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * chunk, chunk)
+        ok, t, b1, b2 = tri_intersect(
+            o, d, min_t, max_t,
+            sl(scene.tri_v0), sl(scene.tri_v1), sl(scene.tri_v2),
+            sl(tri_valid),
+        )
+        t = jnp.where(ok, t, jnp.inf)
+        j = jnp.argmin(t, axis=-1)
+        tj = jnp.take_along_axis(t, j[..., None], axis=-1)[..., 0]
+        better = tj < bt
+        take = lambda a: jnp.take_along_axis(a, j[..., None], axis=-1)[..., 0]
+        return (
+            jnp.where(better, tj, bt),
+            jnp.where(better, (ci * chunk + j).astype(jnp.int32), bp),
+            jnp.where(better, take(b1), bb1),
+            jnp.where(better, take(b2), bb2),
+        ), None
+
+    (bt, bp, bb1, bb2), _ = jax.lax.scan(
+        body, init, jnp.arange(n_chunks), unroll=1)
+
+    # spheres (S is tiny; single dense pass)
+    ok, t = sphere_intersect(
+        o, d, min_t, max_t, scene.sph_center, scene.sph_radius)
+    ok = ok & (scene.sph_bsdf >= 0)
+    t = jnp.where(ok, t, jnp.inf)
+    j = jnp.argmin(t, axis=-1)
+    tj = jnp.take_along_axis(t, j[..., None], axis=-1)[..., 0]
+    better = tj < bt
+    bt = jnp.where(better, tj, bt)
+    bp = jnp.where(better, (n_t + j).astype(jnp.int32), bp)
+    bb1 = jnp.where(better, 0.0, bb1)
+    bb2 = jnp.where(better, 0.0, bb2)
+
+    hit = jnp.isfinite(bt)
+    return hit, jnp.where(hit, bt, max_t), bp, bb1, bb2
+
+
+def build_hit(scene: SceneData, o, d, hit, t, prim_id, b1, b2) -> Hit:
+    """Gather shading data for resolved hits (Intersection fields,
+    reference triangle.cpp:46-52 / sphere.cpp:32-47)."""
+    n_t = scene.n_tris
+    is_tri = prim_id < n_t
+    tid = jnp.clip(prim_id, 0, n_t - 1)
+    sid = jnp.clip(prim_id - n_t, 0, scene.n_spheres - 1)
+
+    b0 = 1.0 - b1 - b2
+    n_tri = (
+        b0[..., None] * scene.tri_n0[tid]
+        + b1[..., None] * scene.tri_n1[tid]
+        + b2[..., None] * scene.tri_n2[tid]
+    )
+    p = o + t[..., None] * d
+    n_sph = (p - scene.sph_center[sid]) / scene.sph_radius[sid][..., None]
+    n = jnp.where(is_tri[..., None], n_tri, n_sph)
+    bsdf = jnp.where(is_tri, scene.tri_bsdf[tid], scene.sph_bsdf[sid])
+    bsdf = jnp.where(hit, bsdf, -1)
+    return Hit(
+        hit=hit,
+        t=t,
+        p=p,
+        n=n,
+        w_out=-d,
+        prim_id=jnp.where(hit, prim_id, -1),
+        bsdf_id=bsdf,
+    )
