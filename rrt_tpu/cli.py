@@ -1,0 +1,144 @@
+"""Command-line entry point mirroring the reference binary's flags.
+
+Reference `pathtracer/src/main.cpp:28-150`:
+
+  -s INT        camera rays (samples) per pixel        [1]
+  -l INT        samples per area light                 [1]
+  -t INT        worker threads (accepted; the TPU build parallelizes via
+                the device mesh instead)
+  -m INT        max ray depth                          [1]
+  -e PATH       environment map (.exr)
+  -f FILE       headless render to PNG
+  -r W H        output resolution                      [800 600]
+  -p X Y DX DY  render only a cell
+  -c FILE       camera settings dump to load
+  -a INT FLOAT  adaptive sampling: batch, tolerance    [32 0.05]
+  -H            direct lighting via uniform hemisphere
+  -b FLOAT      lens radius (aperture)                 [0.25]
+  -d FLOAT      focal distance                         [4.7]
+  -B X Y Z R DT black hole position/radius/Δθ          [(0,1,0) 0.1 0.1]
+
+Extensions over the reference:
+  --flat        disable spacetime curvature entirely
+  --illum N     integrator mode (0 normals / 1 direct / 2 full / 3 indirect)
+  --seed N      PRNG seed (the reference used unseeded std::rand())
+
+There is no interactive OpenGL viewer: like `-f`, rendering is headless
+(the reference's windowed mode is its course-GUI legacy; see README).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from rrt_tpu.scene.build import load_scene
+from rrt_tpu.scene.envmap import build_envmap, probability_debug_image
+from rrt_tpu.render.renderer import Renderer
+from rrt_tpu.utils.config import BlackHoleConfig, Illum, RenderConfig
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rrt_tpu",
+        description="TPU-native relativistic path tracer")
+    p.add_argument("scene", help="COLLADA .dae scene file")
+    p.add_argument("-s", type=int, default=1, dest="ns_aa")
+    p.add_argument("-l", type=int, default=1, dest="ns_area_light")
+    p.add_argument("-t", type=int, default=1, dest="threads",
+                   help="accepted for compatibility; unused")
+    p.add_argument("-m", type=int, default=1, dest="max_ray_depth")
+    p.add_argument("-e", dest="envmap", default=None)
+    p.add_argument("-f", dest="outfile", default="out.png")
+    p.add_argument("-r", nargs=2, type=int, default=[800, 600],
+                   metavar=("W", "H"))
+    p.add_argument("-p", nargs=4, type=int, default=None,
+                   metavar=("X", "Y", "DX", "DY"))
+    p.add_argument("-c", dest="cam_settings", default=None)
+    p.add_argument("-a", nargs=2, default=None, metavar=("BATCH", "TOL"))
+    p.add_argument("-H", dest="hemisphere", action="store_true")
+    p.add_argument("-b", type=float, default=0.25, dest="lens_radius")
+    p.add_argument("-d", type=float, default=4.7, dest="focal_distance")
+    p.add_argument("-B", nargs=5, type=float, default=None,
+                   metavar=("X", "Y", "Z", "R", "DTHETA"))
+    p.add_argument("--flat", action="store_true",
+                   help="disable black-hole ray bending")
+    p.add_argument("--illum", type=int, default=Illum.FULL)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--thin-lens", action="store_true")
+    return p
+
+
+def config_from_args(args) -> RenderConfig:
+    if args.B is not None:
+        bh = BlackHoleConfig(
+            position=tuple(args.B[:3]), radius=args.B[3],
+            delta_theta=args.B[4], enabled=not args.flat)
+    else:
+        bh = BlackHoleConfig(enabled=not args.flat)
+    adaptive = args.a is not None
+    spb, tol = (int(args.a[0]), float(args.a[1])) if adaptive else (32, 0.05)
+    return RenderConfig(
+        ns_aa=args.ns_aa,
+        ns_area_light=args.ns_area_light,
+        max_ray_depth=args.max_ray_depth,
+        width=args.r[0], height=args.r[1],
+        samples_per_batch=spb, max_tolerance=tol, adaptive=adaptive,
+        direct_hemisphere_sample=args.hemisphere,
+        lens_radius=args.lens_radius,
+        focal_distance=args.focal_distance,
+        thin_lens=args.thin_lens,
+        illum=args.illum,
+        black_hole=bh,
+        seed=args.seed,
+    )
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    env = None
+    if args.envmap:
+        from rrt_tpu.io.exr import read_exr
+        from rrt_tpu.io.png import write_png
+        print(f"[PathTracer] Loading environment map {args.envmap}")
+        env = build_envmap(read_exr(args.envmap))
+        # the reference writes probability_debug.png unconditionally on
+        # env-light init (environment_light.cpp:44-47)
+        write_png("probability_debug.png", probability_debug_image(env))
+
+    print(f"[PathTracer] Input scene file: {args.scene}")
+    t0 = time.time()
+    scene, camera = load_scene(
+        args.scene, cfg.width, cfg.height, env=env)
+    print(f"[PathTracer] Scene loaded ({time.time()-t0:.2f} sec), "
+          f"{scene.n_tris} tri rows, {scene.n_spheres} sphere rows")
+
+    if args.cam_settings:
+        camera.load_settings(args.cam_settings)
+        print(f"[Camera] Loaded settings from {args.cam_settings}")
+    camera.lens_radius = cfg.lens_radius
+    camera.focal_distance = cfg.focal_distance
+
+    renderer = Renderer(scene, camera, cfg)
+
+    def progress(done, total):
+        pct = 100.0 * done / total
+        sys.stdout.write(f"\r[PathTracer] Rendering... {pct:.0f}%")
+        sys.stdout.flush()
+
+    t0 = time.time()
+    renderer.render_to_file(args.outfile, cell=args.p, progress=progress)
+    dt = time.time() - t0
+    n_rays = cfg.width * cfg.height * cfg.ns_aa
+    print(f"\n[PathTracer] Rendering complete, {dt:.2f} sec "
+          f"({n_rays/max(dt,1e-9):.3g} camera rays/sec)")
+    print(f"[PathTracer] Saved to {args.outfile}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

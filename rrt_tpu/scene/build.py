@@ -136,6 +136,7 @@ def build_scene(
     env: Optional[EnvMap] = None,
     dtype=np.float32,
     pad_tris_to: int = 64,
+    fov_mode: str = "reference",
 ) -> Tuple[SceneData, Camera]:
     """Build the flat SceneData and a camera placed like the reference.
 
@@ -236,12 +237,14 @@ def build_scene(
             dim_x=jnp.asarray([r["dim_x"] for r in light_rows], dtype),
             dim_y=jnp.asarray([r["dim_y"] for r in light_rows], dtype),
             area=jnp.asarray([r["area"] for r in light_rows], dtype),
+            kind_host=tuple(int(r["kind"]) for r in light_rows),
         )
     else:
         z3 = jnp.zeros((0, 3), dtype)
         lt = LightTable(
             kind=jnp.zeros((0,), jnp.int32), radiance=z3, position=z3,
-            direction=z3, dim_x=z3, dim_y=z3, area=jnp.zeros((0,), dtype))
+            direction=z3, dim_x=z3, dim_y=z3, area=jnp.zeros((0,), dtype),
+            kind_host=())
 
     if env is not None:
         # the reference appends the env light to scene->lights
@@ -254,6 +257,7 @@ def build_scene(
             dim_x=jnp.concatenate([lt.dim_x, jnp.zeros((1, 3), dtype)]),
             dim_y=jnp.concatenate([lt.dim_y, jnp.zeros((1, 3), dtype)]),
             area=jnp.concatenate([lt.area, jnp.zeros((1,), dtype)]),
+            kind_host=lt.kind_host + (LIGHT_ENV,),
         )
 
     scene = SceneData(
@@ -270,10 +274,20 @@ def build_scene(
         env=env,
     )
 
-    # ----- camera placement from scene bbox (application.cpp:263-288)
+    # ----- camera placement from scene bbox (application.cpp:263-288).
+    # The reference always configures at the 800×600 default first and then
+    # resizes (application.cpp:90, main.cpp resize call), which rescales the
+    # FoV through the frozen screenDist — replicated exactly.
     cam = Camera()
     if cam_info is not None:
-        cam.configure(cam_info, screen_w, screen_h)
+        if fov_mode == "reference":
+            cam.configure(cam_info, 800, 600)
+            if (screen_w, screen_h) != (800, 600):
+                cam.set_screen_size(screen_w, screen_h)
+        else:
+            # "native": fit the scene FoV directly to the target resolution
+            # (what the reference would do if W×H were its window default)
+            cam.configure(cam_info, screen_w, screen_h)
     if np.all(np.isfinite(bbox_min)):
         target = 0.5 * (bbox_min + bbox_max)
         extent = bbox_max - bbox_min
@@ -291,6 +305,8 @@ def build_scene(
 
 
 def load_scene(path: str, screen_w: int = 800, screen_h: int = 600,
-               env: Optional[EnvMap] = None, dtype=np.float32):
+               env: Optional[EnvMap] = None, dtype=np.float32,
+               fov_mode: str = "reference"):
     """Convenience: parse a .dae and build the flat scene + camera."""
-    return build_scene(collada.load(path), screen_w, screen_h, env, dtype)
+    return build_scene(collada.load(path), screen_w, screen_h, env, dtype,
+                       fov_mode=fov_mode)

@@ -66,6 +66,16 @@ class Camera:
                 math.atan(math.tan(_radians(self.h_fov) / 2) / self.ar))
         self.screen_dist = screen_h / (2.0 * math.tan(_radians(self.v_fov) / 2))
 
+    def set_screen_size(self, screen_w: int, screen_h: int):
+        """Resize AFTER configure: FoV re-derived from the frozen screenDist
+        (camera.cpp:68-74). The reference's headless path configures at the
+        default 800×600 then resizes to `-r W H` (application.cpp:90,
+        main.cpp:181), which changes the effective FoV — reproduced here."""
+        self.screen_w, self.screen_h = screen_w, screen_h
+        self.ar = screen_w / screen_h
+        self.h_fov = 2 * _degrees(math.atan(screen_w / (2 * self.screen_dist)))
+        self.v_fov = 2 * _degrees(math.atan(screen_h / (2 * self.screen_dist)))
+
     def place(self, target, phi, theta, r, min_r, max_r):
         """Orbit placement (camera.cpp:42-54 + compute_position:96-119)."""
         self.r = min(max(r, min_r), max_r)

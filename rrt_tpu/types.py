@@ -106,6 +106,9 @@ class LightTable:
     dim_x: jnp.ndarray      # (L, 3) area light edge vectors
     dim_y: jnp.ndarray      # (L, 3)
     area: jnp.ndarray       # (L,)
+    # static host-side copy of `kind` — the integrator unrolls the light
+    # loop at trace time, like the reference's per-light for loop
+    kind_host: tuple = struct.field(pytree_node=False, default=())
 
     def is_delta(self):
         """Delta lights get 1 NEE sample instead of ns_area_light
