@@ -43,7 +43,10 @@ def tri_intersect(o, d, min_t, max_t, v0, v1, v2, valid):
     s1 = jnp.cross(d, e2)
     s2 = jnp.cross(s, e1)
     denom = jnp.sum(s1 * e1, axis=-1)
-    inv = 1.0 / denom
+    # denom==0 (parallel / degenerate padded tri) is an explicit miss; the
+    # safe divisor keeps reverse-mode AD free of inf·0 NaNs on masked lanes
+    ok_denom = denom != 0
+    inv = 1.0 / jnp.where(ok_denom, denom, 1.0)
     t = jnp.sum(s2 * e2, axis=-1) * inv
     b1 = jnp.sum(s1 * s, axis=-1) * inv
     b2 = jnp.sum(s2 * d, axis=-1) * inv
@@ -55,6 +58,7 @@ def tri_intersect(o, d, min_t, max_t, v0, v1, v2, valid):
         & (b1 >= 0)
         & (b2 >= 0)
         & valid
+        & ok_denom
     )
     return ok, t, b1, b2
 
@@ -70,7 +74,8 @@ def sphere_intersect(o, d, min_t, max_t, center, radius):
     c = jnp.sum(tmp * tmp, axis=-1) - radius * radius
     disc = b * b - 4.0 * c
     has = disc >= 0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # safe sqrt: masked lanes (disc<0) otherwise produce NaN cotangents
+    sq = jnp.sqrt(jnp.where(has, disc, 1.0))
     t1 = (-b - sq) / 2.0
     t2 = (-b + sq) / 2.0
     ok1 = (min_t[..., None] <= t1) & (t1 <= max_t[..., None])
@@ -163,7 +168,10 @@ def build_hit(scene: SceneData, o, d, hit, t, prim_id, b1, b2) -> Hit:
         + b1[..., None] * scene.tri_n1[tid]
         + b2[..., None] * scene.tri_n2[tid]
     )
-    p = o + t[..., None] * d
+    # missed lanes keep t = max_t (possibly inf); anchor their hit point at
+    # the origin so masked downstream math (and its AD) stays finite
+    t_safe = jnp.where(hit, t, 0.0)
+    p = o + t_safe[..., None] * d
     n_sph = (p - scene.sph_center[sid]) / scene.sph_radius[sid][..., None]
     n = jnp.where(is_tri[..., None], n_tri, n_sph)
     bsdf = jnp.where(is_tri, scene.tri_bsdf[tid], scene.sph_bsdf[sid])

@@ -49,9 +49,22 @@ def trace_curved(
     rays: Rays,
     seg_group: int = 9,
     chunk: int = 512,
+    early_exit: bool = True,
+    n_seg: int = None,
 ) -> Hit:
-    """Micro-ray marched closest hit (bvh.cpp:103-113 semantics)."""
-    n_seg = ss.n_segments(float(bh.delta_theta))
+    """Micro-ray marched closest hit (bvh.cpp:103-113 semantics).
+
+    `early_exit=True` uses a `lax.while_loop` over segment groups (fast,
+    not reverse-differentiable); `early_exit=False` runs all groups under
+    `lax.scan` so `jax.grad` can flow through the geodesic chords (for
+    d(image)/d(black-hole mass/position)).
+
+    `n_seg` (static) must be given when `bh.delta_theta` is traced (e.g.
+    when differentiating w.r.t. it); otherwise it is derived from the
+    concrete value.
+    """
+    if n_seg is None:
+        n_seg = ss.n_segments(float(bh.delta_theta))
     n_groups = -(-n_seg // seg_group)
 
     shape = rays.o.shape[:-1]
@@ -123,7 +136,11 @@ def trace_curved(
             group=st["group"] + 1,
         )
 
-    st = jax.lax.while_loop(cond, body, init)
+    if early_exit:
+        st = jax.lax.while_loop(cond, body, init)
+    else:
+        st, _ = jax.lax.scan(
+            lambda s, _: (body(s), None), init, None, length=n_groups)
 
     ok = st["done"] & ~st["absorbed"]
     hit = build_hit(
@@ -133,15 +150,18 @@ def trace_curved(
 
 
 def trace(scene: SceneData, bh: BlackHoleParams, rays: Rays,
-          chunk: int = 512, seg_group: int = 9) -> Hit:
+          chunk: int = 512, seg_group: int = 9,
+          early_exit: bool = True, n_seg: int = None) -> Hit:
     """Dispatch on the (static) curvature flag."""
     if bh is not None and bh.enabled:
-        return trace_curved(scene, bh, rays, seg_group, chunk)
+        return trace_curved(scene, bh, rays, seg_group, chunk, early_exit,
+                            n_seg)
     return trace_flat(scene, rays, chunk)
 
 
 def occluded(scene: SceneData, bh: BlackHoleParams, rays: Rays,
-             chunk: int = 512, seg_group: int = 9) -> jnp.ndarray:
+             chunk: int = 512, seg_group: int = 9,
+             early_exit: bool = True, n_seg: int = None) -> jnp.ndarray:
     """Shadow query: does `bvh->intersect(ray)` report a hit?
 
     Note the reference quirks this inherits: in curved mode the shadow
@@ -149,5 +169,5 @@ def occluded(scene: SceneData, bh: BlackHoleParams, rays: Rays,
     ranges), and a path absorbed by the hole reports NO occlusion
     (bvh.cpp:107-108 returns false).
     """
-    h = trace(scene, bh, rays, chunk, seg_group)
+    h = trace(scene, bh, rays, chunk, seg_group, early_exit, n_seg)
     return h.hit

@@ -52,14 +52,17 @@ def micro_step(pos, direction, bh: BlackHoleParams):
     """
     dt = bh.delta_theta
     x_axis = pos - bh.position
-    dist = jnp.linalg.norm(x_axis, axis=-1)
+    # safe norms: masked/degenerate lanes must not emit NaN cotangents
+    d2 = jnp.sum(x_axis * x_axis, axis=-1)
+    at_center = d2 <= 0
+    dist = jnp.sqrt(jnp.where(at_center, 1.0, d2))
     x_hat = x_axis / dist[..., None]
     u = 1.0 / dist
     dx = jnp.sum(direction * x_hat, axis=-1)
     y_axis = direction - dx[..., None] * x_hat
-    dy = jnp.linalg.norm(y_axis, axis=-1)
-    dead = dy < _DY_EPS
-    safe_dy = jnp.where(dead, 1.0, dy)
+    y2 = jnp.sum(y_axis * y_axis, axis=-1)
+    dead = (y2 < _DY_EPS * _DY_EPS) | at_center
+    safe_dy = jnp.sqrt(jnp.where(dead, 1.0, y2))
     y_hat = y_axis / safe_dy[..., None]
     up = -u * dx / safe_dy
     r = bh.radius
@@ -67,18 +70,21 @@ def micro_step(pos, direction, bh: BlackHoleParams):
     f2 = ode_rhs(u + up * dt / 2.0, r)
     f3 = ode_rhs(u + up * dt / 2.0 + f1 * dt * dt / 4.0, r)
     u_new = u + up * dt + (f1 + f2 + f3) * dt * dt / 6.0
-    d_new = 1.0 / u_new
+    bad_u = u_new <= 0
+    d_new = 1.0 / jnp.where(bad_u, 1.0, u_new)
     next_pt = (
         bh.position
         + (d_new * jnp.cos(dt))[..., None] * x_hat
         + (d_new * jnp.sin(dt))[..., None] * y_hat
     )
     chord = next_pt - pos
-    chord_len = jnp.linalg.norm(chord, axis=-1)
+    c2 = jnp.sum(chord * chord, axis=-1)
     # guard zero-length chords (u_new <= 0 ⇒ behind-horizon garbage):
-    safe_len = jnp.where(chord_len > 0, chord_len, 1.0)
-    new_dir = chord / safe_len[..., None]
-    dead = dead | ~jnp.isfinite(chord_len) | (u_new <= 0)
+    zero_len = c2 <= 0
+    chord_len = jnp.sqrt(jnp.where(zero_len, 1.0, c2))
+    new_dir = chord / chord_len[..., None]
+    chord_len = jnp.where(zero_len, 0.0, chord_len)
+    dead = dead | ~jnp.isfinite(chord_len) | bad_u | zero_len
     return new_dir, chord_len, dead
 
 
@@ -94,7 +100,7 @@ def absorbed_by_hole(o, d, max_t, bh: BlackHoleParams):
     c = jnp.sum(tmp * tmp, axis=-1) - bh.radius * bh.radius
     disc = b * b - 4.0 * c
     has = disc >= 0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = jnp.sqrt(jnp.where(has, disc, 1.0))  # safe sqrt for AD
     t1 = (-b - sq) / 2.0
     t2 = (-b + sq) / 2.0
     ok1 = (0.0 <= t1) & (t1 <= max_t)

@@ -65,12 +65,19 @@ def is_delta(table: BSDFTable, bsdf_id):
 
 # ------------------------------------------------------------- microfacet
 
+def _safe_alpha(alpha):
+    """Non-microfacet rows carry alpha=0; clamp for NaN-free lanes (their
+    results are kind-masked out anyway)."""
+    return jnp.maximum(alpha, 1e-4)
+
+
 def _mf_lambda(w, alpha):
     """Smith Λ with the reference's erf form (bsdf.h:169-173), including
     its θ clamp via acos(clamp(z, ±(1−1e-5)))."""
     z = jnp.clip(w[..., 2], -1.0 + 1e-5, 1.0 - 1e-5)
     theta = jnp.arccos(z)
-    a = 1.0 / (alpha * jnp.tan(theta))
+    tan_t = jnp.clip(jnp.tan(theta), 1e-6, 1e6)
+    a = 1.0 / (_safe_alpha(alpha) * tan_t)
     return 0.5 * (jax.lax.erf(a) - 1.0 + jnp.exp(-a * a) / (a * PI))
 
 
@@ -82,8 +89,8 @@ def _mf_D(h, alpha):
     z = jnp.clip(h[..., 2], -1.0 + 1e-5, 1.0 - 1e-5)
     theta = jnp.arccos(z)
     tan_t = jnp.tan(theta)
-    cos2 = h[..., 2] * h[..., 2]
-    a2 = alpha * alpha
+    cos2 = jnp.maximum(h[..., 2] * h[..., 2], 1e-12)
+    a2 = _safe_alpha(alpha) ** 2
     return jnp.exp(-tan_t * tan_t / a2) / (PI * a2 * cos2 * cos2)
 
 
@@ -99,14 +106,20 @@ def _mf_F(wi, eta, k):
 
 
 def _mf_f(wo, wi, eta, k, alpha):
-    h = wo + wi
-    h = h / jnp.linalg.norm(h, axis=-1, keepdims=True)
+    ok = (wo[..., 2] > 0) & (wi[..., 2] > 0)
+    # sanitize masked lanes BEFORE the math: where() does not stop NaN
+    # cotangents from the untaken branch
+    up = jnp.zeros_like(wo).at[..., 2].set(1.0)
+    wo = jnp.where(ok[..., None], wo, up)
+    wi = jnp.where(ok[..., None], wi, up)
+    hsum = wo + wi
+    n2 = jnp.sum(hsum * hsum, axis=-1, keepdims=True)
+    h = hsum / jnp.sqrt(jnp.where(n2 > 0, n2, 1.0))
     val = (
         _mf_F(wi, eta, k)
         * (_mf_G(wo, wi, alpha) * _mf_D(h, alpha))[..., None]
         / (4.0 * wo[..., 2:3] * wi[..., 2:3])
     )
-    ok = (wo[..., 2] > 0) & (wi[..., 2] > 0)
     return jnp.where(ok[..., None], val, 0.0)
 
 
@@ -131,7 +144,7 @@ def _refract(wo, ior):
     eta = jnp.where(wo[..., 2] > 0, 1.0 / ior, ior)
     wi_z2 = 1.0 - eta * eta * (1.0 - wo[..., 2] * wo[..., 2])
     ok = wi_z2 >= 0
-    z = jnp.sqrt(jnp.maximum(wi_z2, 0.0))
+    z = jnp.sqrt(jnp.where(ok, wi_z2, 1.0))  # safe sqrt for AD
     z = jnp.where(wo[..., 2] > 0, -z, z)
     wi = jnp.stack([-eta * wo[..., 0], -eta * wo[..., 1], z], axis=-1)
     return ok, wi
@@ -155,11 +168,11 @@ def sample(table: BSDFTable, bsdf_id, wo, key) -> BSDFSample:
 
     # --- mirror
     wi_mir = _reflect(wo)
-    val_mir = m.reflectance / jnp.abs(wi_mir[..., 2:3])
+    val_mir = m.reflectance / jnp.maximum(jnp.abs(wi_mir[..., 2:3]), 1e-12)
 
     # --- microfacet: Beckmann half-vector importance sampling
     xim = jax.random.uniform(k2, shape + (2,), wo.dtype)
-    a2 = m.alpha * m.alpha
+    a2 = _safe_alpha(m.alpha) ** 2
     theta_h = jnp.arctan(jnp.sqrt(-a2 * jnp.log1p(-xim[..., 0])))
     phi_h = 2.0 * PI * xim[..., 1]
     sin_h, cos_h = jnp.sin(theta_h), jnp.cos(theta_h)
@@ -171,8 +184,10 @@ def sample(table: BSDFTable, bsdf_id, wo, key) -> BSDFSample:
         [sin_h * jnp.cos(phi_h), sin_h * jnp.sin(phi_h), cos_h], axis=-1)
     wi_mf = 2.0 * jnp.sum(wo * h, axis=-1, keepdims=True) * h - wo
     below = wi_mf[..., 2] <= 0
-    pdf_mf = p_theta * p_phi / (sin_h * 4.0 * jnp.sum(wi_mf * h, axis=-1))
-    pdf_mf = jnp.where(below, 0.0, pdf_mf)
+    mf_denom = sin_h * 4.0 * jnp.sum(wi_mf * h, axis=-1)
+    pdf_mf = p_theta * p_phi / jnp.where(
+        jnp.abs(mf_denom) > 1e-12, mf_denom, 1.0)
+    pdf_mf = jnp.where(below | (jnp.abs(mf_denom) <= 1e-12), 0.0, pdf_mf)
     val_mf = jnp.where(below[..., None], 0.0,
                        _mf_f(wo, wi_mf, m.eta, m.k, m.alpha))
 
@@ -189,11 +204,12 @@ def sample(table: BSDFTable, bsdf_id, wo, key) -> BSDFSample:
     pdf_glass = jnp.where(
         ~can_refract, 1.0, jnp.where(coin, schlick, 1.0 - schlick))
     w_refl = jnp.where(~can_refract, 1.0, schlick)[..., None] * m.reflectance
+    abs_z = jnp.maximum(jnp.abs(wi_glass[..., 2:3]), 1e-12)
     val_glass = jnp.where(
         use_reflect[..., None],
-        w_refl / jnp.abs(wi_glass[..., 2:3]),
-        ((1.0 - schlick) / (jnp.abs(wi_glass[..., 2:3])[..., 0]
-                            * eta_g * eta_g))[..., None] * m.transmittance,
+        w_refl / abs_z,
+        ((1.0 - schlick) / (abs_z[..., 0] * eta_g * eta_g))[..., None]
+        * m.transmittance,
     )
 
     # --- select by kind

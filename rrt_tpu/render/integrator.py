@@ -39,6 +39,13 @@ def _frames(hit: Hit):
     return m3.make_coord_space(hit.n)
 
 
+def _n_seg(cfg: RenderConfig):
+    """Static segment count from the config's nominal Δθ (needed when
+    bh.delta_theta is a traced parameter under autodiff)."""
+    from rrt_tpu.physics import schwarzschild as ss
+    return ss.n_segments(cfg.black_hole.delta_theta)
+
+
 def direct_lighting_importance(
     scene: SceneData,
     bh: Optional[BlackHoleParams],
@@ -85,7 +92,9 @@ def direct_lighting_importance(
         min_t=jnp.zeros_like(dist),
         max_t=dist,                # honored in flat mode; discarded curved
     )
-    occ = tracer.occluded(scene, bh, shadow)
+    occ = tracer.occluded(scene, bh, shadow,
+                          early_exit=not cfg.differentiable,
+                          n_seg=_n_seg(cfg))
 
     f_val = bsdflib.evaluate(scene.bsdfs, hit.bsdf_id[None], wo[None], wi_l)
     contrib = rad * f_val * (wi_l[..., 2:3]) / pdf[..., None]
@@ -123,7 +132,8 @@ def direct_lighting_hemisphere(
         min_t=jnp.zeros((num,) + shape, dt),
         max_t=jnp.full((num,) + shape, jnp.inf, dt),
     )
-    h2 = tracer.trace(scene, bh, rays)
+    h2 = tracer.trace(scene, bh, rays,
+                      early_exit=not cfg.differentiable, n_seg=_n_seg(cfg))
     emit = bsdflib.emission(scene.bsdfs, h2.bsdf_id)
     f_val = bsdflib.evaluate(scene.bsdfs, hit.bsdf_id[None], wo[None], wi_l)
     contrib = emit * f_val * wi_l[..., 2:3]
@@ -146,7 +156,8 @@ def est_radiance(
 ) -> jnp.ndarray:
     """est_radiance_global_illumination (part1_code.cpp:103-123) for a flat
     batch of camera rays. Returns (..., 3) radiance."""
-    hit = tracer.trace(scene, bh, rays)
+    hit = tracer.trace(scene, bh, rays,
+                       early_exit=not cfg.differentiable, n_seg=_n_seg(cfg))
     miss = ~hit.hit
 
     if scene.env is not None:
@@ -211,7 +222,9 @@ def est_radiance(
             min_t=jnp.zeros_like(hit.t),
             max_t=jnp.full_like(hit.t, jnp.inf),
         )
-        h2 = tracer.trace(scene, bh, nxt)
+        h2 = tracer.trace(scene, bh, nxt,
+                          early_exit=not cfg.differentiable,
+                          n_seg=_n_seg(cfg))
         cont = cont & h2.hit
         w = smp.value * (jnp.abs(smp.wi[..., 2:3])
                          / jnp.maximum(smp.pdf, 1e-30)[..., None]) / RR_PROB

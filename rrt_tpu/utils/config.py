@@ -73,6 +73,9 @@ class RenderConfig:
     # EPS_D=1e-11 on ray origins in double precision (misc.h:12); at f32 an
     # absolute offset of ~1e-4·scene-scale is required instead.
     ray_eps: float = 1e-4
+    # differentiable mode: curved traversal runs all segment groups under
+    # lax.scan (reverse-AD-capable) instead of the early-exit while_loop
+    differentiable: bool = False
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
