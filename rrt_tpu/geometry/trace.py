@@ -149,10 +149,31 @@ def trace_curved(
     return hit
 
 
+def _pallas_eligible(scene: SceneData) -> bool:
+    from rrt_tpu.ops.trace_kernel import pallas_supported
+    return jax.default_backend() == "tpu" and pallas_supported(scene)
+
+
 def trace(scene: SceneData, bh: BlackHoleParams, rays: Rays,
           chunk: int = 512, seg_group: int = 9,
-          early_exit: bool = True, n_seg: int = None) -> Hit:
-    """Dispatch on the (static) curvature flag."""
+          early_exit: bool = True, n_seg: int = None,
+          backend: str = "auto") -> Hit:
+    """Dispatch on the (static) curvature flag and backend.
+
+    backend: "pallas" = fused on-chip kernel (TPU, SMEM-sized scenes),
+    "xla" = composed XLA ops (any platform, reverse-differentiable),
+    "auto" = pallas when eligible. The differentiable path must use "xla"
+    (the kernel has no custom VJP yet).
+    """
+    if backend == "auto":
+        backend = "pallas" if _pallas_eligible(scene) else "xla"
+    if backend == "pallas":
+        from rrt_tpu.ops.trace_kernel import pallas_trace
+        from rrt_tpu.physics import schwarzschild as ss
+        if n_seg is None:
+            n_seg = ss.n_segments(float(bh.delta_theta)) if (
+                bh is not None and bh.enabled) else 1
+        return pallas_trace(scene, bh, rays, n_seg=n_seg)
     if bh is not None and bh.enabled:
         return trace_curved(scene, bh, rays, seg_group, chunk, early_exit,
                             n_seg)
@@ -161,7 +182,8 @@ def trace(scene: SceneData, bh: BlackHoleParams, rays: Rays,
 
 def occluded(scene: SceneData, bh: BlackHoleParams, rays: Rays,
              chunk: int = 512, seg_group: int = 9,
-             early_exit: bool = True, n_seg: int = None) -> jnp.ndarray:
+             early_exit: bool = True, n_seg: int = None,
+             backend: str = "auto") -> jnp.ndarray:
     """Shadow query: does `bvh->intersect(ray)` report a hit?
 
     Note the reference quirks this inherits: in curved mode the shadow
@@ -169,5 +191,5 @@ def occluded(scene: SceneData, bh: BlackHoleParams, rays: Rays,
     ranges), and a path absorbed by the hole reports NO occlusion
     (bvh.cpp:107-108 returns false).
     """
-    h = trace(scene, bh, rays, chunk, seg_group, early_exit, n_seg)
+    h = trace(scene, bh, rays, chunk, seg_group, early_exit, n_seg, backend)
     return h.hit

@@ -46,6 +46,11 @@ def _n_seg(cfg: RenderConfig):
     return ss.n_segments(cfg.black_hole.delta_theta)
 
 
+def _backend(cfg: RenderConfig) -> str:
+    # the fused kernel has no VJP yet; autodiff uses the XLA path
+    return "xla" if cfg.differentiable else cfg.trace_backend
+
+
 def direct_lighting_importance(
     scene: SceneData,
     bh: Optional[BlackHoleParams],
@@ -94,7 +99,7 @@ def direct_lighting_importance(
     )
     occ = tracer.occluded(scene, bh, shadow,
                           early_exit=not cfg.differentiable,
-                          n_seg=_n_seg(cfg))
+                          n_seg=_n_seg(cfg), backend=_backend(cfg))
 
     f_val = bsdflib.evaluate(scene.bsdfs, hit.bsdf_id[None], wo[None], wi_l)
     contrib = rad * f_val * (wi_l[..., 2:3]) / pdf[..., None]
@@ -133,7 +138,8 @@ def direct_lighting_hemisphere(
         max_t=jnp.full((num,) + shape, jnp.inf, dt),
     )
     h2 = tracer.trace(scene, bh, rays,
-                      early_exit=not cfg.differentiable, n_seg=_n_seg(cfg))
+                      early_exit=not cfg.differentiable, n_seg=_n_seg(cfg),
+                      backend=_backend(cfg))
     emit = bsdflib.emission(scene.bsdfs, h2.bsdf_id)
     f_val = bsdflib.evaluate(scene.bsdfs, hit.bsdf_id[None], wo[None], wi_l)
     contrib = emit * f_val * wi_l[..., 2:3]
@@ -157,7 +163,8 @@ def est_radiance(
     """est_radiance_global_illumination (part1_code.cpp:103-123) for a flat
     batch of camera rays. Returns (..., 3) radiance."""
     hit = tracer.trace(scene, bh, rays,
-                       early_exit=not cfg.differentiable, n_seg=_n_seg(cfg))
+                       early_exit=not cfg.differentiable, n_seg=_n_seg(cfg),
+                       backend=_backend(cfg))
     miss = ~hit.hit
 
     if scene.env is not None:
@@ -224,7 +231,7 @@ def est_radiance(
         )
         h2 = tracer.trace(scene, bh, nxt,
                           early_exit=not cfg.differentiable,
-                          n_seg=_n_seg(cfg))
+                          n_seg=_n_seg(cfg), backend=_backend(cfg))
         cont = cont & h2.hit
         w = smp.value * (jnp.abs(smp.wi[..., 2:3])
                          / jnp.maximum(smp.pdf, 1e-30)[..., None]) / RR_PROB

@@ -207,8 +207,17 @@ def build_scene(
         tv0 = tv1 = tv2 = tn0 = tn1 = tn2 = np.zeros((0, 3))
         tb = np.zeros((0,), dtype=np.int32)
 
-    # pad triangles to a chunk multiple with degenerate far-away rows
+    # Morton-sort the triangles so spatially-close rows are contiguous
+    # (the dense two-level acceleration structure, geometry/clusters.py)
+    from rrt_tpu.geometry import clusters as cl
     n_t = len(tb)
+    if n_t > 0:
+        order = cl.morton_order(tv0, tv1, tv2)
+        tv0, tv1, tv2 = tv0[order], tv1[order], tv2[order]
+        tn0, tn1, tn2 = tn0[order], tn1[order], tn2[order]
+        tb = tb[order]
+
+    # pad triangles to a chunk multiple with degenerate far-away rows
     n_pad = (-n_t) % pad_tris_to if pad_tris_to else 0
     if n_pad or n_t == 0:
         n_pad = max(n_pad, pad_tris_to if n_t == 0 else n_pad)
@@ -222,11 +231,14 @@ def build_scene(
         tn2 = np.concatenate([tn2, zn])
         tb = np.concatenate([tb, np.full(n_pad, -1, dtype=np.int32)])
 
-    if not sph_c:
-        # keep one degenerate sphere so shapes stay non-empty/static
-        sph_c = [np.full(3, 1e30)]
-        sph_r = [0.0]
-        sph_b = [-1]
+    cluster_lo, cluster_hi = cl.cluster_bboxes(
+        tv0, tv1, tv2, tb >= 0, pad_tris_to)
+
+    # pad spheres to a fixed lane width (kernel-friendly static shape)
+    while len(sph_c) < 8:
+        sph_c.append(np.full(3, 1e30))
+        sph_r.append(0.0)
+        sph_b.append(-1)
 
     if light_rows:
         lt = LightTable(
@@ -272,6 +284,9 @@ def build_scene(
         bsdfs=bsdfs.table(dtype),
         lights=lt,
         env=env,
+        cluster_lo=jnp.asarray(cluster_lo, dtype),
+        cluster_hi=jnp.asarray(cluster_hi, dtype),
+        cluster_size=pad_tris_to,
     )
 
     # ----- camera placement from scene bbox (application.cpp:263-288).

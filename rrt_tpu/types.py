@@ -173,6 +173,12 @@ class SceneData:
     lights: LightTable
     env: Optional[EnvMap] = None
 
+    # two-level acceleration: Morton-ordered triangle rows grouped into
+    # fixed-size clusters with AABBs (see geometry/clusters.py)
+    cluster_lo: Optional[jnp.ndarray] = None  # (K, 3)
+    cluster_hi: Optional[jnp.ndarray] = None  # (K, 3)
+    cluster_size: int = struct.field(pytree_node=False, default=64)
+
     @property
     def n_tris(self):
         return self.tri_v0.shape[0]

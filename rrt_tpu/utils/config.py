@@ -76,6 +76,8 @@ class RenderConfig:
     # differentiable mode: curved traversal runs all segment groups under
     # lax.scan (reverse-AD-capable) instead of the early-exit while_loop
     differentiable: bool = False
+    # trace backend: "auto" | "pallas" | "xla" (differentiable forces xla)
+    trace_backend: str = "auto"
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

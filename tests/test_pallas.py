@@ -1,0 +1,71 @@
+"""Fused Pallas trace kernel vs the XLA reference path (interpret mode on
+CPU; the compiled kernel is exercised on real TPU by bench.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rrt_tpu.geometry import trace as T
+from rrt_tpu.ops.trace_kernel import pallas_trace, pallas_supported
+from rrt_tpu.scene.build import load_scene
+from rrt_tpu.types import BlackHoleParams, Rays
+
+DAE = "/root/reference/pathtracer/dae"
+
+
+def _rays(n, seed=2):
+    rng = np.random.default_rng(seed)
+    o = (rng.uniform(-0.8, 0.8, (n, 3)) * np.array([1, 0.5, 1])
+         + [0, 0.75, 0]).astype(np.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return Rays(o=jnp.asarray(o), d=jnp.asarray(d, jnp.float32),
+                min_t=jnp.zeros(n), max_t=jnp.full(n, 1e9))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    s, _ = load_scene(f"{DAE}/sky/CBspheres_lambertian.dae")
+    return s
+
+
+@pytest.mark.parametrize("curved", [False, True], ids=["flat", "curved"])
+def test_kernel_matches_xla(scene, curved):
+    assert pallas_supported(scene)
+    rays = _rays(1500)  # non-multiple of the 1024 tile
+    bh = BlackHoleParams(position=jnp.array([0.0, 1.0, 0.0]),
+                         radius=jnp.array(0.1),
+                         delta_theta=jnp.array(0.1)) if curved else None
+    hp = pallas_trace(scene, bh, rays, n_seg=63, interpret=True)
+    hx = T.trace(scene, bh, rays, chunk=64, backend="xla")
+    assert (np.asarray(hp.hit) == np.asarray(hx.hit)).all()
+    m = np.asarray(hp.hit)
+    assert (np.asarray(hp.prim_id)[m] == np.asarray(hx.prim_id)[m]).all()
+    np.testing.assert_allclose(
+        np.asarray(hp.p)[m], np.asarray(hx.p)[m], atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(hp.n)[m], np.asarray(hx.n)[m], atol=2e-3)
+    assert (np.asarray(hp.bsdf_id)[m] == np.asarray(hx.bsdf_id)[m]).all()
+
+
+def test_kernel_flat_respects_max_t(scene):
+    o = jnp.array([[0.0, 0.2, 0.0]], jnp.float32)
+    d = jnp.array([[0.0, 1.0, 0.0]], jnp.float32)
+    mk = lambda mt: Rays(o=o, d=d, min_t=jnp.zeros(1),
+                         max_t=jnp.full(1, mt, jnp.float32))
+    assert bool(pallas_trace(scene, None, mk(10.0), 1,
+                             interpret=True).hit[0])
+    assert not bool(pallas_trace(scene, None, mk(0.5), 1,
+                                 interpret=True).hit[0])
+
+
+def test_kernel_absorption(scene):
+    bh = BlackHoleParams(position=jnp.array([0.0, 0.75, 0.0]),
+                         radius=jnp.array(0.3), delta_theta=jnp.array(0.1))
+    d = np.array([[-1.0, 0.02, 0.0]])
+    d /= np.linalg.norm(d)
+    rays = Rays(o=jnp.array([[0.9, 0.75, 0.0]], jnp.float32),
+                d=jnp.asarray(d, jnp.float32),
+                min_t=jnp.zeros(1), max_t=jnp.full(1, 1e9))
+    h = pallas_trace(scene, bh, rays, n_seg=63, interpret=True)
+    assert not bool(h.hit[0])
