@@ -137,8 +137,10 @@ def sample_L(env: EnvMap, key, shape, dtype=jnp.float32):
     theta = y.astype(dtype) / h * PI
     phi = x.astype(dtype) / w * 2.0 * PI
     wi = _theta_phi_to_dir(theta, phi)
+    # row 0 has θ=0 → sin 0; the reference divides by it (UB → inf). Clamp
+    # so the pdf stays finite; the contribution rad/pdf → ~0 either way.
     pdf = (env.pdf[y, x] * w * h
-           / (2.0 * PI * PI * jnp.sin(theta)))
+           / (2.0 * PI * PI * jnp.maximum(jnp.sin(theta), 1e-8)))
     rad = _bilerp(env, x.astype(dtype), y.astype(dtype))
     dist = jnp.full(shape, jnp.inf, dtype)
     return rad, wi, dist, pdf
