@@ -46,6 +46,10 @@ def morton3(p: np.ndarray) -> np.ndarray:
 
 def morton_order(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
     """Permutation sorting triangles by centroid Morton code."""
+    from rrt_tpu.utils import native
+    order = native.morton_order(v0, v1, v2)
+    if order is not None:
+        return order
     c = (v0 + v1 + v2) / 3.0
     return np.argsort(morton3(c), kind="stable")
 
@@ -57,6 +61,10 @@ def cluster_bboxes(v0, v1, v2, valid, cluster_size: int
     Invalid (padding) rows contribute nothing; empty clusters get an
     inverted bbox that fails every slab test.
     """
+    from rrt_tpu.utils import native
+    nat = native.cluster_bboxes(v0, v1, v2, valid, cluster_size)
+    if nat is not None:
+        return nat
     t = len(v0)
     assert t % cluster_size == 0
     k = t // cluster_size

@@ -113,6 +113,9 @@ def _strip_ns(tag: str) -> str:
 
 
 def _floats(text: str) -> np.ndarray:
+    if len(text) > 4096:  # big arrays go through the native parser
+        from rrt_tpu.utils import native
+        return native.parse_floats(text)
     return np.array([float(t) for t in text.split()])
 
 
@@ -350,7 +353,11 @@ def _parse_polymesh(doc: _Doc, el: ET.Element) -> PolymeshInfo:
 
     count = int(poly.get("count"))
     p_el = doc.child(poly, "p")
-    idx = np.array([int(t) for t in p_el.text.split()], dtype=np.int64)
+    if len(p_el.text) > 4096:
+        from rrt_tpu.utils import native
+        idx = native.parse_ints(p_el.text)
+    else:
+        idx = np.array([int(t) for t in p_el.text.split()], dtype=np.int64)
     if tri_mode:
         sizes = np.full(count, 3, dtype=np.int64)
     else:

@@ -36,6 +36,10 @@ def vertex_normals(vertices: np.ndarray, tris: np.ndarray) -> np.ndarray:
     sum cross(pj−pi, pk−pi) over incident faces — which for a triangle equals
     the same 2·area·n̂ regardless of which corner pi is — then normalize.
     """
+    from rrt_tpu.utils import native
+    nat = native.vertex_normals(vertices, tris)
+    if nat is not None:
+        return nat
     v0 = vertices[tris[:, 0]]
     v1 = vertices[tris[:, 1]]
     v2 = vertices[tris[:, 2]]
