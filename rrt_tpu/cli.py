@@ -133,9 +133,8 @@ def main(argv=None):
     t0 = time.time()
     renderer.render_to_file(args.outfile, cell=args.p, progress=progress)
     dt = time.time() - t0
-    n_rays = cfg.width * cfg.height * cfg.ns_aa
-    print(f"\n[PathTracer] Rendering complete, {dt:.2f} sec "
-          f"({n_rays/max(dt,1e-9):.3g} camera rays/sec)")
+    print(f"\n[PathTracer] Rendering complete, {dt:.2f} sec")
+    print(renderer.stats(dt).report())
     print(f"[PathTracer] Saved to {args.outfile}")
     return 0
 

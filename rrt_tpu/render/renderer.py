@@ -132,7 +132,23 @@ class Renderer:
         count = np.asarray(count).reshape(cfg.height, cfg.width)
         hdr = (np.asarray(rad_sum).reshape(cfg.height, cfg.width, 3)
                / np.maximum(count[..., None], 1))
+        self.last_sample_count = count
         return hdr, count
+
+    def stats(self, wall_seconds: float = 0.0):
+        """Trace-count accounting (reference total_rays analog,
+        pathtracer.cpp:637-638)."""
+        from rrt_tpu.render.lights import is_delta_light
+        from rrt_tpu.utils.stats import expected_stats
+        nls = sum(
+            1 if is_delta_light(self.scene.lights, i) else
+            self.cfg.ns_area_light
+            for i in range(len(self.scene.lights.kind_host)))
+        done = getattr(self, "last_sample_count", None)
+        samples = int(done.mean()) if done is not None else self.cfg.ns_aa
+        st = expected_stats(self.cfg, nls, samples)
+        st.wall_seconds = wall_seconds
+        return st
 
     def render_cell(self, x, y, dx, dy) -> np.ndarray:
         """Re-render a sub-rectangle (`-p x y dx dy`, pathtracer.cpp:583-609):

@@ -1,0 +1,94 @@
+"""Render statistics & timing — the aux observability subsystem.
+
+The reference's only perf telemetry is CGL::Timer wall-clocks and the BVH
+counters `total_rays`/`total_isects` printed at completion
+(`pathtracer.cpp:636-638`, `bvh.h:140`). Here the equivalent counters are
+computed analytically from the render configuration (every lane is traced
+in lockstep, so counts are exact, not sampled), plus phase timers.
+"""
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Dict, Optional
+
+from rrt_tpu.utils.config import Illum, RenderConfig
+
+
+@dataclasses.dataclass
+class RenderStats:
+    """Trace-call accounting for one render (reference counters analog)."""
+
+    camera_rays: int = 0
+    shadow_rays: int = 0
+    bounce_rays: int = 0
+    geodesic_segments_max: int = 0
+    wall_seconds: float = 0.0
+
+    @property
+    def total_rays(self):
+        """= the reference's BVHAccel::total_rays (every bvh->intersect)."""
+        return self.camera_rays + self.shadow_rays + self.bounce_rays
+
+    def report(self) -> str:
+        lines = [
+            f"[PathTracer] Traced {self.total_rays} rays "
+            f"({self.camera_rays} camera, {self.shadow_rays} shadow, "
+            f"{self.bounce_rays} bounce).",
+        ]
+        if self.geodesic_segments_max:
+            lines.append(
+                f"[PathTracer] Geodesic marching: up to "
+                f"{self.geodesic_segments_max} segments per ray.")
+        if self.wall_seconds:
+            lines.append(
+                f"[PathTracer] {self.total_rays / self.wall_seconds:.3g} "
+                f"rays/sec over {self.wall_seconds:.2f} sec.")
+        return "\n".join(lines)
+
+
+def expected_stats(cfg: RenderConfig, n_lights_total_samples: int,
+                   samples_done: int) -> RenderStats:
+    """Exact lockstep trace counts for a full-frame render.
+
+    n_lights_total_samples = Σ over lights of (1 if delta else
+    ns_area_light) — the per-vertex NEE batch height.
+    """
+    from rrt_tpu.physics.schwarzschild import n_segments
+
+    n_px = cfg.width * cfg.height
+    lanes = n_px * samples_done
+    st = RenderStats(camera_rays=lanes)
+    md = cfg.max_ray_depth
+    if cfg.illum == Illum.NORMAL:
+        pass
+    elif cfg.illum == Illum.DIRECT:
+        st.shadow_rays = lanes * n_lights_total_samples
+    else:
+        n_vertices = md if md >= 1 else 0
+        if cfg.illum == Illum.INDIRECT and md >= 1:
+            n_vertices = md  # first-vertex NEE skipped but still traced
+        st.shadow_rays = lanes * n_lights_total_samples * n_vertices
+        st.bounce_rays = lanes * max(md - 1, 0)
+    if cfg.black_hole.enabled:
+        st.geodesic_segments_max = n_segments(cfg.black_hole.delta_theta)
+    return st
+
+
+class PhaseTimer:
+    """Named wall-clock phases (CGL::Timer analog)."""
+
+    def __init__(self):
+        self.phases: Dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.phases[name] = self.phases.get(name, 0.0) + time.time() - t0
+
+    def report(self) -> str:
+        return " | ".join(f"{k}: {v:.2f}s" for k, v in self.phases.items())
