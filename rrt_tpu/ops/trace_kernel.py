@@ -46,8 +46,11 @@ from rrt_tpu.geometry.intersect import build_hit, tri_intersect
 from rrt_tpu.types import BlackHoleParams, Hit, Rays, SceneData
 
 BIG = 3e37
-# max triangle rows the SMEM-resident variant accepts (12 f32 each)
-SMEM_TRI_BUDGET = 4096
+# triangle rows per kernel pass (12 f32 each must fit SMEM; bigger scenes
+# run as a Morton-partitioned multi-pass with a lexicographic merge)
+PART_TRIS = 1024
+# total triangle capacity of the partitioned path (sanity cap)
+SMEM_TRI_BUDGET = 1 << 20
 
 
 def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
@@ -58,7 +61,7 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
             cl_ref,                  # (K,8) SMEM: lo xyz, hi xyz, pad
             sph_ref,                 # (S,4) SMEM: cx,cy,cz,r
             # outputs (1,8,128)
-            hit_ref, abs_ref, t_ref, prim_ref,
+            hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
             sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
             *, curved: bool, n_seg: int, n_tri_rows: int,
             cluster_size: int):
@@ -252,6 +255,7 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
                 f0, f0, f0,                       # done, dead, absorbed
                 jnp.full((8, 128), BIG, jnp.float32),
                 jnp.full((8, 128), -1, jnp.int32),
+                jnp.full((8, 128), n_seg, jnp.int32),   # event segment
                 ox, oy, oz, dx, dy, dz)
 
         def cond(st):
@@ -261,7 +265,7 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
 
         def body(st):
             (s, px, py, pz, ux, uy, uz, done_f, dead_f, absd_f,
-             out_t, out_p, sox, soy, soz, sdx, sdy, sdz) = st
+             out_t, out_p, out_s, sox, soy, soz, sdx, sdy, sdz) = st
             done = done_f > 0.0
             ndx, ndy, ndz, clen, sdead = march(px, py, pz, ux, uy, uz)
             # done lanes keep marching in lockstep; a later degenerate step
@@ -277,6 +281,7 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
             upd = lambda cur, new: jnp.where(newly, new, cur)
             out_t = upd(out_t, bt)
             out_p = upd(out_p, bp)
+            out_s = upd(out_s, jnp.full((8, 128), 1, jnp.int32) * s)
             sox = upd(sox, px)
             soy = upd(soy, py)
             soz = upd(soz, pz)
@@ -289,11 +294,12 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
             npy = py + ndy * clen
             npz = pz + ndz * clen
             return (s + 1, npx, npy, npz, ndx, ndy, ndz, done_f, dead_f,
-                    absd_f, out_t, out_p, sox, soy, soz, sdx, sdy, sdz)
+                    absd_f, out_t, out_p, out_s, sox, soy, soz,
+                    sdx, sdy, sdz)
 
         st = jax.lax.while_loop(cond, body, init)
         (_, _, _, _, _, _, _, done_f, dead_f, absd_f,
-         out_t, out_p, sox, soy, soz, sdx, sdy, sdz) = st
+         out_t, out_p, out_s, sox, soy, soz, sdx, sdy, sdz) = st
         hit = (done_f > 0.0) & (absd_f == 0.0) & (dead_f == 0.0)
         absd_out = absd_f
     else:
@@ -302,6 +308,7 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
         hit = bt < BIG
         absd_out = f0
         out_t, out_p = bt, bp
+        out_s = jnp.zeros((8, 128), jnp.int32)
         sox, soy, soz = ox, oy, oz
         sdx, sdy, sdz = dx, dy, dz
 
@@ -309,6 +316,7 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
     abs_ref[0] = absd_out
     t_ref[0] = jnp.where(hit, out_t, 0.0)
     prim_ref[0] = jnp.where(hit, out_p, -1)
+    seg_ref[0] = out_s
     sox_ref[0] = sox
     soy_ref[0] = soy
     soz_ref[0] = soz
@@ -318,7 +326,8 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
 
 
 def pallas_supported(scene: SceneData) -> bool:
-    """SMEM-resident variant handles scenes up to the triangle budget."""
+    """Single-pass for small scenes; Morton-partitioned multi-pass above
+    PART_TRIS. The cap is a sanity bound, not an SMEM limit."""
     return scene.n_tris <= SMEM_TRI_BUDGET
 
 
@@ -383,7 +392,7 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
 
     out_shapes = (
         [jax.ShapeDtypeStruct((g, 8, 128), jnp.float32) for _ in range(3)]
-        + [jax.ShapeDtypeStruct((g, 8, 128), jnp.int32)]
+        + [jax.ShapeDtypeStruct((g, 8, 128), jnp.int32)] * 2
         + [jax.ShapeDtypeStruct((g, 8, 128), jnp.float32) for _ in range(6)]
     )
 
@@ -399,24 +408,45 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
             + [ray_spec] * 8
             + [smem((T, 12)), smem((K, 8)), smem((S, 4))]
         ),
-        out_specs=tuple(ray_spec for _ in range(10)),
+        out_specs=tuple(ray_spec for _ in range(11)),
         out_shape=tuple(out_shapes),
         interpret=interpret,
     )(bhp, *ray_ins, tri_tab, cl_tab, sph_tab)
 
-    (hit, absd, t, prim, sox, soy, soz, sdx, sdy, sdz) = outs
+    (hit, absd, t, prim, seg, sox, soy, soz, sdx, sdy, sdz) = outs
     cut = lambda a: a.reshape(-1)[:n]
     seg_o = jnp.stack([cut(sox), cut(soy), cut(soz)], axis=-1)
     seg_d = jnp.stack([cut(sdx), cut(sdy), cut(sdz)], axis=-1)
     return (cut(hit) > 0, cut(absd) > 0, cut(t),
-            cut(prim), seg_o, seg_d)
+            cut(prim), cut(seg), seg_o, seg_d)
+
+
+def _part_scene(scene: SceneData, c0: int, c1: int) -> SceneData:
+    """Slice clusters [c0, c1) into a sub-scene (cluster-aligned)."""
+    cs = scene.cluster_size
+    t0, t1 = c0 * cs, c1 * cs
+    return scene.replace(
+        tri_v0=scene.tri_v0[t0:t1], tri_v1=scene.tri_v1[t0:t1],
+        tri_v2=scene.tri_v2[t0:t1],
+        tri_n0=scene.tri_n0[t0:t1], tri_n1=scene.tri_n1[t0:t1],
+        tri_n2=scene.tri_n2[t0:t1],
+        tri_bsdf=scene.tri_bsdf[t0:t1],
+        cluster_lo=scene.cluster_lo[c0:c1],
+        cluster_hi=scene.cluster_hi[c0:c1],
+    )
 
 
 def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
                  rays: Rays, n_seg: int,
                  interpret: bool = False) -> Hit:
     """Full closest-hit query via the fused kernel, shading payload rebuilt
-    outside (barycentrics re-derived for the winning triangle)."""
+    outside (barycentrics re-derived for the winning triangle).
+
+    Scenes beyond the SMEM-resident budget run as a multi-pass over
+    Morton-contiguous cluster ranges; per-part results merge by the
+    first-event rule (segment index, then chord t) — identical semantics
+    to a monolithic pass because the geodesic march is deterministic and
+    event-horizon absorption is geometry-independent."""
     curved = bh is not None and bh.enabled
     flat_shape = rays.o.shape[:-1]
     flat_rays = Rays(
@@ -425,8 +455,44 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
         min_t=rays.min_t.reshape(-1),
         max_t=rays.max_t.reshape(-1),
     )
-    hit, absd, t, prim, seg_o, seg_d = pallas_trace_raw(
-        scene, bh, flat_rays, curved, n_seg, interpret)
+    T = scene.n_tris
+    cs = scene.cluster_size
+    K = T // cs
+    cpp = max(1, PART_TRIS // cs)          # clusters per part
+    n_parts = -(-K // cpp)
+
+    if n_parts <= 1:
+        hit, absd, t, prim, seg, seg_o, seg_d = pallas_trace_raw(
+            scene, bh, flat_rays, curved, n_seg, interpret)
+    else:
+        hit = absd = None
+        for pi in range(n_parts):
+            c0 = pi * cpp
+            c1 = min(K, (pi + 1) * cpp)
+            sub = _part_scene(scene, c0, c1)
+            (h_p, a_p, t_p, p_p, s_p, so_p, sd_p) = pallas_trace_raw(
+                sub, bh, flat_rays, curved, n_seg, interpret)
+            # remap part prim ids to the global space
+            sub_t = sub.n_tris
+            is_tri = h_p & (p_p < sub_t)
+            p_p = jnp.where(
+                is_tri, p_p + c0 * cs,
+                jnp.where(h_p, T + (p_p - sub_t), -1))
+            if hit is None:
+                hit, absd, t, prim, seg = h_p, a_p, t_p, p_p, s_p
+                seg_o, seg_d = so_p, sd_p
+            else:
+                better = h_p & (
+                    ~hit | (s_p < seg) | ((s_p == seg) & (t_p < t)))
+                t = jnp.where(better, t_p, t)
+                prim = jnp.where(better, p_p, prim)
+                seg = jnp.where(better, s_p, seg)
+                seg_o = jnp.where(better[..., None], so_p, seg_o)
+                seg_d = jnp.where(better[..., None], sd_p, seg_d)
+                hit = hit | h_p
+                absd = absd & a_p
+        # a hit in an earlier segment beats geometry-independent absorption
+        absd = absd & ~hit
 
     # recompute barycentrics for winning triangles (1 tri per ray)
     n_t = scene.n_tris
