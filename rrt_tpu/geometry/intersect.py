@@ -101,8 +101,10 @@ def closest_hit_brute(
     """
     n_t = scene.n_tris
     chunk = min(chunk, n_t)
+    while n_t % chunk != 0:   # rows are padded to a multiple of 64
+        chunk //= 2
+    assert chunk >= 1, "triangle count must be chunk-padded"
     n_chunks = n_t // chunk
-    assert n_chunks * chunk == n_t, "triangle count must be chunk-padded"
 
     shape = o.shape[:-1]
     init = (

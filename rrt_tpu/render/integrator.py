@@ -51,6 +51,18 @@ def _backend(cfg: RenderConfig) -> str:
     return "xla" if cfg.differentiable else cfg.trace_backend
 
 
+def _mask_rays(rays: Rays, active, bh) -> Rays:
+    """Replace inactive lanes with rays that terminate immediately:
+    origin at the hole center (curved: degenerate→dead on segment 1) or
+    max_t < min_t (flat). Lets done kernel tiles early-exit instead of
+    marching stale lanes through all 63 segments."""
+    if bh is not None and bh.enabled:
+        o = jnp.where(active[..., None],
+                      rays.o, jnp.broadcast_to(bh.position, rays.o.shape))
+        return rays.replace(o=o)
+    return rays.replace(max_t=jnp.where(active, rays.max_t, -1.0))
+
+
 def direct_lighting_importance(
     scene: SceneData,
     bh: Optional[BlackHoleParams],
@@ -97,6 +109,7 @@ def direct_lighting_importance(
         min_t=jnp.zeros_like(dist),
         max_t=dist,                # honored in flat mode; discarded curved
     )
+    shadow = _mask_rays(shadow, facing & hit.hit[None], bh)
     occ = tracer.occluded(scene, bh, shadow,
                           early_exit=not cfg.differentiable,
                           n_seg=_n_seg(cfg), backend=_backend(cfg))
@@ -229,6 +242,7 @@ def est_radiance(
             min_t=jnp.zeros_like(hit.t),
             max_t=jnp.full_like(hit.t, jnp.inf),
         )
+        nxt = _mask_rays(nxt, cont, bh)
         h2 = tracer.trace(scene, bh, nxt,
                           early_exit=not cfg.differentiable,
                           n_seg=_n_seg(cfg), backend=_backend(cfg))

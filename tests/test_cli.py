@@ -1,0 +1,73 @@
+"""CLI end-to-end smoke tests (subprocess, CPU, tiny frames)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from rrt_tpu.io.png import read_png
+
+DAE = "/root/reference/pathtracer/dae"
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=400):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m"] + args, capture_output=True, text=True,
+        timeout=timeout, env=env, cwd=ROOT)
+
+
+def test_cli_headless_render(tmp_path):
+    out = str(tmp_path / "out.png")
+    r = _run(["rrt_tpu.cli", "-f", out, "-r", "48", "36", "-s", "1",
+              "-m", "1", "--flat", "--illum", "0",
+              f"{DAE}/sky/CBspheres_lambertian.dae"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    img = read_png(out)
+    assert img.shape == (36, 48, 4)
+    assert img[..., :3].max() > 0
+    # the unconditional companion heatmap (reference save_image behavior)
+    assert os.path.exists(str(tmp_path / "out_rate.png"))
+    assert "Traced" in r.stdout
+
+
+def test_cli_black_hole_flag(tmp_path):
+    out = str(tmp_path / "bh.png")
+    r = _run(["rrt_tpu.cli", "-f", out, "-r", "32", "24", "-s", "1",
+              "-m", "1", "-B", "0", "0.75", "0", "0.2", "0.3",
+              f"{DAE}/sky/CBspheres_lambertian.dae"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+
+
+def test_cli_envmap(tmp_path):
+    """-e flag: synthesize an EXR, render an unlit scene lit by it."""
+    import numpy as np
+    from rrt_tpu.io.exr import write_exr
+    exr = str(tmp_path / "env.exr")
+    img = np.zeros((8, 16, 3), np.float32)
+    img[:4] = [2.0, 1.0, 0.5]  # bright upper hemisphere
+    write_exr(exr, img)
+    out = str(tmp_path / "env_render.png")
+    r = _run(["rrt_tpu.cli", "-f", out, "-r", "32", "24", "-s", "2",
+              "-m", "1", "--flat", "-e", exr, "--seed", "1",
+              f"{DAE}/sky/bunny_unlit.dae"], timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    img_out = read_png(out)[..., :3]
+    assert img_out.max() > 0  # envmap light reaches the film
+    # probability_debug.png is written on env init (reference behavior)
+    assert os.path.exists(os.path.join(ROOT, "probability_debug.png"))
+    os.remove(os.path.join(ROOT, "probability_debug.png"))
+
+
+def test_kerr_cli(tmp_path):
+    out = str(tmp_path / "kerr.png")
+    r = _run(["rrt_tpu.kerr_cli", "-f", out, "-r", "48", "32",
+              "--steps", "120", "--mass", "1", "--spin", "0.8"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    img = read_png(out)[..., :3]
+    assert img.max() > 10  # disk visible
