@@ -51,14 +51,14 @@ def read_png(path: str) -> np.ndarray:
         pos += 12 + ln
         if tag == b"IHDR":
             w, h, depth, color_type = struct.unpack(">IIBB", payload[:10])
-            assert depth == 8 and color_type in (2, 3, 6)
+            assert depth == 8 and color_type in (0, 2, 3, 4, 6)
         elif tag == b"PLTE":
             palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
-    nch = {2: 3, 3: 1, 6: 4}[color_type]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(idat)
     stride = w * nch
     img = np.zeros((h, stride), np.uint8)
@@ -94,4 +94,9 @@ def read_png(path: str) -> np.ndarray:
     img = img.reshape(h, w, nch)
     if color_type == 3:
         img = palette[img[..., 0]]
+    elif color_type == 0:
+        img = np.repeat(img, 3, axis=2)
+    elif color_type == 4:
+        img = np.concatenate([np.repeat(img[..., :1], 3, axis=2),
+                              img[..., 1:]], axis=2)
     return img

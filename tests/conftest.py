@@ -26,6 +26,11 @@ import pytest  # noqa: E402
 DAE_DIR = "/root/reference/pathtracer/dae"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end renders")
+
+
 @pytest.fixture(scope="session")
 def dae_dir():
     return DAE_DIR
