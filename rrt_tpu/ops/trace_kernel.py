@@ -46,9 +46,11 @@ from rrt_tpu.geometry.intersect import build_hit, tri_intersect
 from rrt_tpu.types import BlackHoleParams, Hit, Rays, SceneData
 
 BIG = 3e37
-# triangle rows per kernel pass (12 f32 each must fit SMEM; bigger scenes
-# run as a Morton-partitioned multi-pass with a lexicographic merge)
-PART_TRIS = 1024
+# triangle rows per part (12 f32 each, double-buffered in SMEM against a
+# ~1 MiB budget; bigger scenes iterate Morton-contiguous parts as a
+# sequential grid dimension with in-kernel merging). Must be a multiple of
+# 8×cluster_size: SMEM blocks need row counts divisible by 8.
+PART_TRIS = 512
 # total triangle capacity of the partitioned path (sanity cap)
 SMEM_TRI_BUDGET = 1 << 20
 
@@ -64,7 +66,7 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
             hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
             sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
             *, curved: bool, n_seg: int, n_tri_rows: int,
-            cluster_size: int):
+            cluster_size: int, n_parts: int):
     T = tri_ref.shape[0]
     K = cl_ref.shape[0]
     S = sph_ref.shape[0]
@@ -312,17 +314,58 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
         sox, soy, soz = ox, oy, oz
         sdx, sdy, sdz = dx, dy, dz
 
-    hit_ref[0] = hit.astype(jnp.float32)
-    abs_ref[0] = absd_out
-    t_ref[0] = jnp.where(hit, out_t, 0.0)
-    prim_ref[0] = jnp.where(hit, out_p, -1)
-    seg_ref[0] = out_s
-    sox_ref[0] = sox
-    soy_ref[0] = soy
-    soz_ref[0] = soz
-    sdx_ref[0] = sdx
-    sdy_ref[0] = sdy
-    sdz_ref[0] = sdz
+    # Globalize triangle ids: part p covers rows [p·T, (p+1)·T) of the
+    # padded table; sphere ids (≥ n_tri_rows ≥ T) are already global.
+    p = pl.program_id(1) if n_parts > 1 else 0
+    out_p = jnp.where((out_p >= 0) & (out_p < T), out_p + p * T, out_p)
+    t_m = jnp.where(hit, out_t, 0.0)
+    p_m = jnp.where(hit, out_p, -1)
+
+    def write_fresh():
+        hit_ref[0] = hit.astype(jnp.float32)
+        abs_ref[0] = absd_out
+        t_ref[0] = t_m
+        prim_ref[0] = p_m
+        seg_ref[0] = out_s
+        sox_ref[0] = sox
+        soy_ref[0] = soy
+        soz_ref[0] = soz
+        sdx_ref[0] = sdx
+        sdy_ref[0] = sdy
+        sdz_ref[0] = sdz
+
+    if n_parts == 1:
+        write_fresh()
+    else:
+        # Output blocks are revisited across the part grid dimension: merge
+        # this part's events with the running best by the first-event rule
+        # (segment index, then chord t). Geometry-independent absorption is
+        # AND-merged: a part only reports non-absorbed if its geometry
+        # produced a hit before the absorption segment.
+        @pl.when(p == 0)
+        def _():
+            write_fresh()
+
+        @pl.when(p > 0)
+        def _():
+            ph = hit_ref[0] > 0.0
+            pabs = abs_ref[0] > 0.0
+            pt = t_ref[0]
+            pp = prim_ref[0]
+            ps = seg_ref[0]
+            better = hit & (
+                (~ph) | (out_s < ps) | ((out_s == ps) & (t_m < pt)))
+            hit_ref[0] = (ph | hit).astype(jnp.float32)
+            abs_ref[0] = (pabs & (absd_out > 0.0)).astype(jnp.float32)
+            t_ref[0] = jnp.where(better, t_m, pt)
+            prim_ref[0] = jnp.where(better, p_m, pp)
+            seg_ref[0] = jnp.where(better, out_s, ps)
+            sox_ref[0] = jnp.where(better, sox, sox_ref[0])
+            soy_ref[0] = jnp.where(better, soy, soy_ref[0])
+            soz_ref[0] = jnp.where(better, soz, soz_ref[0])
+            sdx_ref[0] = jnp.where(better, sdx, sdx_ref[0])
+            sdy_ref[0] = jnp.where(better, sdy, sdy_ref[0])
+            sdz_ref[0] = jnp.where(better, sdz, sdz_ref[0])
 
 
 def pallas_supported(scene: SceneData) -> bool:
@@ -343,7 +386,14 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
     n_pad = -(-n // tile) * tile
     g = n_pad // tile
     T = scene.n_tris
-    K = T // scene.cluster_size
+    cs = scene.cluster_size
+    # Pad the triangle table to a whole number of PART_TRIS-row parts; the
+    # part index is the second (sequential) grid dimension, so one kernel
+    # instance covers any scene size with the merge state resident in VMEM.
+    n_parts = max(1, -(-T // PART_TRIS))
+    T_pad = n_parts * PART_TRIS if n_parts > 1 else T
+    cpp = T_pad // n_parts // cs           # clusters per part
+    K = T_pad // cs
     S = scene.sph_center.shape[0]
 
     def shape_r(a):
@@ -366,11 +416,20 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
         (scene.tri_bsdf >= 0).astype(jnp.float32)[:, None],
         jnp.zeros((T, 2), jnp.float32),
     ], axis=1)                                        # (T, 12)
+    K0 = scene.cluster_lo.shape[0]
     cl_tab = jnp.concatenate([
         jnp.asarray(scene.cluster_lo, jnp.float32),
         jnp.asarray(scene.cluster_hi, jnp.float32),
-        jnp.zeros((K, 2), jnp.float32),
-    ], axis=1)                                        # (K, 8)
+        jnp.zeros((K0, 2), jnp.float32),
+    ], axis=1)                                        # (K0, 8)
+    if T_pad > T:
+        tri_tab = jnp.pad(tri_tab, ((0, T_pad - T), (0, 0)))
+    if K > K0:
+        # empty boxes (lo > hi) fail every slab test
+        empty = jnp.tile(
+            jnp.array([[BIG, BIG, BIG, -BIG, -BIG, -BIG, 0.0, 0.0]],
+                      jnp.float32), (K - K0, 1))
+        cl_tab = jnp.concatenate([cl_tab, empty], axis=0)
     sph_tab = jnp.concatenate([
         jnp.asarray(scene.sph_center, jnp.float32),
         jnp.where(scene.sph_bsdf >= 0, scene.sph_radius,
@@ -385,10 +444,15 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
     else:
         bhp = jnp.zeros((1, 8), jnp.float32)
 
-    ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+    ray_spec = pl.BlockSpec((1, 8, 128), lambda i, p: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(
-        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+        shape, lambda i, p: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+    part_rows = T_pad // n_parts
+    tri_spec = pl.BlockSpec((part_rows, 12), lambda i, p: (p, 0),
+                            memory_space=pltpu.SMEM)
+    cl_spec = pl.BlockSpec((cpp, 8), lambda i, p: (p, 0),
+                           memory_space=pltpu.SMEM)
 
     out_shapes = (
         [jax.ShapeDtypeStruct((g, 8, 128), jnp.float32) for _ in range(3)]
@@ -397,16 +461,16 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
     )
 
     kernel = functools.partial(
-        _kernel, curved=curved, n_seg=n_seg, n_tri_rows=T,
-        cluster_size=scene.cluster_size)
+        _kernel, curved=curved, n_seg=n_seg, n_tri_rows=T_pad,
+        cluster_size=scene.cluster_size, n_parts=n_parts)
 
     outs = pl.pallas_call(
         kernel,
-        grid=(g,),
+        grid=(g, n_parts),
         in_specs=(
             [smem((1, 8))]
             + [ray_spec] * 8
-            + [smem((T, 12)), smem((K, 8)), smem((S, 4))]
+            + [tri_spec, cl_spec, smem((S, 4))]
         ),
         out_specs=tuple(ray_spec for _ in range(11)),
         out_shape=tuple(out_shapes),
@@ -415,25 +479,14 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
 
     (hit, absd, t, prim, seg, sox, soy, soz, sdx, sdy, sdz) = outs
     cut = lambda a: a.reshape(-1)[:n]
+    hit = cut(hit) > 0
+    absd = (cut(absd) > 0) & ~hit
+    prim = cut(prim)
+    # sphere ids were minted in padded-tri space; remap to scene space
+    prim = jnp.where(prim >= T_pad, prim - (T_pad - T), prim)
     seg_o = jnp.stack([cut(sox), cut(soy), cut(soz)], axis=-1)
     seg_d = jnp.stack([cut(sdx), cut(sdy), cut(sdz)], axis=-1)
-    return (cut(hit) > 0, cut(absd) > 0, cut(t),
-            cut(prim), cut(seg), seg_o, seg_d)
-
-
-def _part_scene(scene: SceneData, c0: int, c1: int) -> SceneData:
-    """Slice clusters [c0, c1) into a sub-scene (cluster-aligned)."""
-    cs = scene.cluster_size
-    t0, t1 = c0 * cs, c1 * cs
-    return scene.replace(
-        tri_v0=scene.tri_v0[t0:t1], tri_v1=scene.tri_v1[t0:t1],
-        tri_v2=scene.tri_v2[t0:t1],
-        tri_n0=scene.tri_n0[t0:t1], tri_n1=scene.tri_n1[t0:t1],
-        tri_n2=scene.tri_n2[t0:t1],
-        tri_bsdf=scene.tri_bsdf[t0:t1],
-        cluster_lo=scene.cluster_lo[c0:c1],
-        cluster_hi=scene.cluster_hi[c0:c1],
-    )
+    return (hit, absd, cut(t), prim, cut(seg), seg_o, seg_d)
 
 
 def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
@@ -442,11 +495,12 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
     """Full closest-hit query via the fused kernel, shading payload rebuilt
     outside (barycentrics re-derived for the winning triangle).
 
-    Scenes beyond the SMEM-resident budget run as a multi-pass over
-    Morton-contiguous cluster ranges; per-part results merge by the
-    first-event rule (segment index, then chord t) — identical semantics
-    to a monolithic pass because the geodesic march is deterministic and
-    event-horizon absorption is geometry-independent."""
+    Scenes beyond one SMEM-resident triangle part run as a second
+    (sequential) grid dimension over Morton-contiguous cluster ranges;
+    per-part events merge in-kernel, in VMEM-resident output blocks, by
+    the first-event rule (segment index, then chord t) — identical
+    semantics to a monolithic pass because the geodesic march is
+    deterministic and event-horizon absorption is geometry-independent."""
     curved = bh is not None and bh.enabled
     flat_shape = rays.o.shape[:-1]
     flat_rays = Rays(
@@ -455,44 +509,8 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
         min_t=rays.min_t.reshape(-1),
         max_t=rays.max_t.reshape(-1),
     )
-    T = scene.n_tris
-    cs = scene.cluster_size
-    K = T // cs
-    cpp = max(1, PART_TRIS // cs)          # clusters per part
-    n_parts = -(-K // cpp)
-
-    if n_parts <= 1:
-        hit, absd, t, prim, seg, seg_o, seg_d = pallas_trace_raw(
-            scene, bh, flat_rays, curved, n_seg, interpret)
-    else:
-        hit = absd = None
-        for pi in range(n_parts):
-            c0 = pi * cpp
-            c1 = min(K, (pi + 1) * cpp)
-            sub = _part_scene(scene, c0, c1)
-            (h_p, a_p, t_p, p_p, s_p, so_p, sd_p) = pallas_trace_raw(
-                sub, bh, flat_rays, curved, n_seg, interpret)
-            # remap part prim ids to the global space
-            sub_t = sub.n_tris
-            is_tri = h_p & (p_p < sub_t)
-            p_p = jnp.where(
-                is_tri, p_p + c0 * cs,
-                jnp.where(h_p, T + (p_p - sub_t), -1))
-            if hit is None:
-                hit, absd, t, prim, seg = h_p, a_p, t_p, p_p, s_p
-                seg_o, seg_d = so_p, sd_p
-            else:
-                better = h_p & (
-                    ~hit | (s_p < seg) | ((s_p == seg) & (t_p < t)))
-                t = jnp.where(better, t_p, t)
-                prim = jnp.where(better, p_p, prim)
-                seg = jnp.where(better, s_p, seg)
-                seg_o = jnp.where(better[..., None], so_p, seg_o)
-                seg_d = jnp.where(better[..., None], sd_p, seg_d)
-                hit = hit | h_p
-                absd = absd & a_p
-        # a hit in an earlier segment beats geometry-independent absorption
-        absd = absd & ~hit
+    hit, absd, t, prim, seg, seg_o, seg_d = pallas_trace_raw(
+        scene, bh, flat_rays, curved, n_seg, interpret)
 
     # recompute barycentrics for winning triangles (1 tri per ray)
     n_t = scene.n_tris

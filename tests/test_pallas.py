@@ -48,6 +48,35 @@ def test_kernel_matches_xla(scene, curved):
     assert (np.asarray(hp.bsdf_id)[m] == np.asarray(hx.bsdf_id)[m]).all()
 
 
+@pytest.mark.parametrize("curved", [False, True], ids=["flat", "curved"])
+def test_kernel_multipart_matches_xla(curved):
+    """Scenes above PART_TRIS run as a sequential part grid dimension with
+    in-kernel first-event merging; must agree with the monolithic XLA
+    path. teapot.dae = 2496 tris -> 3 parts."""
+    s, _ = load_scene(f"{DAE}/meshedit/teapot.dae")
+    lo = np.asarray(s.cluster_lo).min(0)
+    hi = np.asarray(s.cluster_hi).max(0)
+    rng = np.random.default_rng(7)
+    n = 300
+    o = (lo - 0.2 * (hi - lo)
+         + rng.uniform(0, 1, (n, 3)) * 1.4 * (hi - lo)).astype(np.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = Rays(o=jnp.asarray(o), d=jnp.asarray(d, jnp.float32),
+                min_t=jnp.zeros(n), max_t=jnp.full(n, 1e9))
+    c = 0.5 * (lo + hi)
+    bh = BlackHoleParams(position=jnp.asarray(c, jnp.float32),
+                         radius=jnp.array(0.05 * float((hi - lo).max())),
+                         delta_theta=jnp.array(0.1)) if curved else None
+    hp = pallas_trace(s, bh, rays, n_seg=63, interpret=True)
+    hx = T.trace(s, bh, rays, chunk=64, backend="xla")
+    assert (np.asarray(hp.hit) == np.asarray(hx.hit)).all()
+    m = np.asarray(hp.hit)
+    assert (np.asarray(hp.prim_id)[m] == np.asarray(hx.prim_id)[m]).all()
+    np.testing.assert_allclose(
+        np.asarray(hp.p)[m], np.asarray(hx.p)[m], atol=2e-3)
+
+
 def test_kernel_flat_respects_max_t(scene):
     o = jnp.array([[0.0, 0.2, 0.0]], jnp.float32)
     d = jnp.array([[0.0, 1.0, 0.0]], jnp.float32)
