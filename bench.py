@@ -33,9 +33,9 @@ def main():
     scene, cam = load_scene(SCENE, W, H)
     r = Renderer(scene, cam, cfg)
 
-    # warmup: compile the sample pass once (first TPU compile is slow)
-    warm_cfg = cfg.replace(ns_aa=1)
-    Renderer(scene, cam, warm_cfg).render()
+    # warmup: compile + run the full render once (first TPU compile is
+    # slow; the steady-state render is what the metric measures)
+    r.render()
 
     t0 = time.time()
     hdr, count = r.render()

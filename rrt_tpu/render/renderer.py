@@ -47,29 +47,46 @@ class Renderer:
         self.cfg = cfg
         self.bh = make_black_hole(cfg)
         self.sharding = sharding
-        self._pass_fn = jax.jit(self._sample_pass, donate_argnums=(0,))
+        self._pass_fns = {}  # samples-per-pass k -> jitted pass fn
+
+    def _pass_fn(self, k: int):
+        fn = self._pass_fns.get(k)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._sample_pass, k=k),
+                         donate_argnums=(0,))
+            self._pass_fns[k] = fn
+        return fn
 
     # -------------------------------------------------------- pass kernel
 
-    def _rays_for(self, xy_jitter, key):
+    def _rays_for(self, xy_jitter, key, k: int = 1):
         cfg, cam = self.cfg, self.camera
         h, w = cfg.height, cfg.width
         ys, xs = jnp.meshgrid(
             jnp.arange(h, dtype=jnp.float32),
             jnp.arange(w, dtype=jnp.float32), indexing="ij")
         px = jnp.stack([xs, ys], axis=-1).reshape(-1, 2)
+        if k > 1:
+            px = jnp.tile(px, (k, 1))
+        m = px.shape[0]
+        if xy_jitter.shape[0] != m:          # centered single-sample case
+            xy_jitter = jnp.broadcast_to(xy_jitter[:1], (m, 2))
         xy = (px + xy_jitter) / jnp.array([w, h], jnp.float32)
         if cfg.thin_lens:
             k1, k2 = jax.random.split(key)
-            rnd_r = jax.random.uniform(k1, (h * w,))
-            rnd_th = jax.random.uniform(k2, (h * w,)) * 2.0 * jnp.pi
+            rnd_r = jax.random.uniform(k1, (m,))
+            rnd_th = jax.random.uniform(k2, (m,)) * 2.0 * jnp.pi
             return cam.generate_rays_thin_lens(xy, rnd_r, rnd_th)
         return cam.generate_rays(xy)
 
-    def _sample_pass(self, acc, key, sample_idx):
-        """Trace one jittered sample for every pixel, masked-accumulate.
+    def _sample_pass(self, acc, key, sample_idx, k: int):
+        """Trace `k` jittered samples for every pixel in ONE megabatch
+        (k·N lanes), masked-accumulate.
 
         acc = (radiance_sum (N,3), s1, s2, count, done) with N = H·W.
+        `sample_idx` is the first sample index of the pass; when adaptive,
+        `k` divides samples_per_batch so convergence tests still happen
+        exactly at batch boundaries (part1_code.cpp:147-159).
         """
         cfg = self.cfg
         rad_sum, s1, s2, count, done = acc
@@ -78,24 +95,26 @@ class Renderer:
         if cfg.ns_aa == 1:
             jitter = jnp.full((n, 2), 0.5, jnp.float32)
         else:
-            jitter = jax.random.uniform(k_jit, (n, 2), jnp.float32)
-        rays = self._rays_for(jitter, k_lens)
+            jitter = jax.random.uniform(k_jit, (k * n, 2), jnp.float32)
+        rays = self._rays_for(jitter, k_lens, k)
         if self.sharding is not None:
             rays = jax.lax.with_sharding_constraint(rays, self.sharding)
         L = est_radiance(self.scene, self.bh, rays, cfg, k_rad)
         L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
+        L = L.reshape(k, n, 3)
 
         active = ~done
-        rad_sum = rad_sum + jnp.where(active[:, None], L, 0.0)
-        illum = (0.2126 * L[:, 0] + 0.7152 * L[:, 1] + 0.0722 * L[:, 2])
-        s1 = s1 + jnp.where(active, illum, 0.0)
-        s2 = s2 + jnp.where(active, illum * illum, 0.0)
-        count = count + active.astype(jnp.int32)
+        rad_sum = rad_sum + jnp.where(active[:, None], L.sum(0), 0.0)
+        illum = (0.2126 * L[..., 0] + 0.7152 * L[..., 1]
+                 + 0.0722 * L[..., 2])                       # (k, n)
+        s1 = s1 + jnp.where(active, illum.sum(0), 0.0)
+        s2 = s2 + jnp.where(active, (illum * illum).sum(0), 0.0)
+        count = count + k * active.astype(jnp.int32)
 
         if cfg.adaptive:
             # convergence test at batch boundaries (part1_code.cpp:147-159):
             # i+1 = count, avg = s1/(i+1), sd² = (s2 − avg·s1)/i
-            at_batch = (sample_idx + 1) % cfg.samples_per_batch == 0
+            at_batch = (sample_idx + k) % cfg.samples_per_batch == 0
             i1 = count.astype(jnp.float32)
             avg = s1 / jnp.maximum(i1, 1.0)
             var = (s2 - avg * s1) / jnp.maximum(i1 - 1.0, 1.0)
@@ -120,14 +139,24 @@ class Renderer:
             jnp.zeros(n, bool),
         )
         base = jax.random.key(cfg.seed)
-        for s in range(cfg.ns_aa):
-            acc = self._pass_fn(acc, jax.random.fold_in(base, s),
-                                jnp.asarray(s, jnp.int32))
-            if cfg.adaptive and (s + 1) % cfg.samples_per_batch == 0:
+        # samples per pass: fill the chip with up to max_pass_lanes lanes;
+        # under adaptive sampling k must divide samples_per_batch so the
+        # 1.96σ test lands exactly on batch boundaries
+        k = max(1, min(cfg.ns_aa, cfg.max_pass_lanes // max(n, 1)))
+        if cfg.adaptive:
+            while cfg.samples_per_batch % k != 0:
+                k -= 1
+        s = 0
+        while s < cfg.ns_aa:
+            ks = min(k, cfg.ns_aa - s)
+            acc = self._pass_fn(ks)(acc, jax.random.fold_in(base, s),
+                                    jnp.asarray(s, jnp.int32))
+            s += ks
+            if cfg.adaptive and s % cfg.samples_per_batch == 0:
                 if bool(jnp.all(acc[4])):
                     break
             if progress is not None:
-                progress(s + 1, cfg.ns_aa)
+                progress(s, cfg.ns_aa)
         rad_sum, _, _, count, _ = acc
         count = np.asarray(count).reshape(cfg.height, cfg.width)
         hdr = (np.asarray(rad_sum).reshape(cfg.height, cfg.width, 3)

@@ -67,6 +67,10 @@ class RenderConfig:
     accel: str = "bvh"
     # how many rays each jit megabatch processes (tile pool replacement)
     rays_per_batch: int = 1 << 17
+    # lane budget per sample pass: small frames fold multiple jittered
+    # samples per pixel into one megabatch to fill the chip (per-pass fixed
+    # cost amortizes ~2.5x from 65k to 1M lanes on v5e)
+    max_pass_lanes: int = 1 << 20
     # RNG seed for the whole render (reference used unseeded std::rand())
     seed: int = 0
     # self-intersection offset along the shading normal. The reference uses
