@@ -68,6 +68,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--illum", type=int, default=Illum.FULL)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--thin-lens", action="store_true")
+    # lifecycle extensions (reference stop()/update_screen analogs)
+    p.add_argument("--preview", default=None, metavar="PNG",
+                   help="write a progressive preview PNG during the render")
+    p.add_argument("--preview-every", type=int, default=1, metavar="N",
+                   help="preview update interval in samples/pixel")
+    p.add_argument("--checkpoint", default=None, metavar="NPZ",
+                   help="checkpoint file: saved periodically and on Ctrl-C; "
+                        "pass --resume to continue from it")
+    p.add_argument("--checkpoint-every", type=int, default=8, metavar="N",
+                   help="checkpoint interval in samples/pixel")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
     return p
 
 
@@ -131,9 +143,21 @@ def main(argv=None):
         sys.stdout.flush()
 
     t0 = time.time()
-    renderer.render_to_file(args.outfile, cell=args.p, progress=progress)
+    renderer.render_to_file(
+        args.outfile, cell=args.p, progress=progress,
+        preview_path=args.preview,
+        preview_every=args.preview_every if args.preview else None,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every if args.checkpoint else None,
+        resume=args.resume)
     dt = time.time() - t0
-    print(f"\n[PathTracer] Rendering complete, {dt:.2f} sec")
+    if getattr(renderer, "cancelled", False):
+        print(f"\n[PathTracer] Rendering cancelled after "
+              f"{renderer.samples_done} samples/pixel ({dt:.2f} sec)"
+              + (f"; state saved to {args.checkpoint}" if args.checkpoint
+                 else ""))
+    else:
+        print(f"\n[PathTracer] Rendering complete, {dt:.2f} sec")
     print(renderer.stats(dt).report())
     print(f"[PathTracer] Saved to {args.outfile}")
     return 0

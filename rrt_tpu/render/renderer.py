@@ -2,16 +2,30 @@
 
 The reference fills a mutex-guarded WorkQueue with 32×32 tiles and spawns
 worker std::threads (`pathtracer.cpp:224-282`, `work_queue.h`). Here a
-render is a host loop over *sample passes*: each pass traces one jittered
-sample for every pixel as a single jitted megabatch (optionally sharded
-over a device mesh), accumulating into device buffers. Adaptive sampling
-(`part1_code.cpp:147-159`) runs the same passes with per-pixel stop masks:
-converged pixels stop accumulating (their sample count freezes), keeping
-every pass the same static shape.
+render is a host loop over *sample passes*: each pass traces one or more
+jittered samples for every pixel as a single jitted megabatch (optionally
+sharded over a device mesh), accumulating into device buffers. Adaptive
+sampling (`part1_code.cpp:147-159`) runs the same passes with per-pixel
+stop masks: converged pixels stop accumulating (their sample count
+freezes), keeping every pass the same static shape.
+
+Render lifecycle (reference `stop()`/`continueRaytracing`,
+pathtracer.cpp:180-202):
+  * `stop()` (or Ctrl-C) cancels cleanly between passes;
+  * `checkpoint_path=` persists the accumulator + pass index so an
+    interrupted render resumes bit-exactly (per-pass PRNG keys derive only
+    from (seed, pass index), so resume == uninterrupted);
+  * `preview_path=` writes a progressive partial-frame PNG during the
+    render — the TPU-native analog of the viewer's `update_screen` blit
+    (pathtracer.cpp:156-178).
+
+Cell rendering (`-p x y dx dy`, pathtracer.cpp:583-609) generates rays
+ONLY for the cell rectangle, so wall-time scales with cell area.
 """
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -37,6 +51,10 @@ def make_black_hole(cfg: RenderConfig, dtype=jnp.float32) -> Optional[BlackHoleP
     )
 
 
+class RenderCancelled(Exception):
+    """Raised (optionally) when a render is stopped before completion."""
+
+
 class Renderer:
     """Progressive whole-frame renderer with adaptive sampling."""
 
@@ -47,31 +65,39 @@ class Renderer:
         self.cfg = cfg
         self.bh = make_black_hole(cfg)
         self.sharding = sharding
-        self._pass_fns = {}  # samples-per-pass k -> jitted pass fn
+        self._pass_fns = {}  # (samples-per-pass k, region) -> jitted pass fn
+        self._stop = False
 
-    def _pass_fn(self, k: int):
-        fn = self._pass_fns.get(k)
+    def stop(self):
+        """Request clean cancellation between passes (the reference's
+        `stop()` → `continueRaytracing=false`, pathtracer.cpp:180-202)."""
+        self._stop = True
+
+    def _pass_fn(self, k: int, region):
+        fn = self._pass_fns.get((k, region))
         if fn is None:
-            fn = jax.jit(functools.partial(self._sample_pass, k=k),
-                         donate_argnums=(0,))
-            self._pass_fns[k] = fn
+            fn = jax.jit(
+                functools.partial(self._sample_pass, k=k, region=region),
+                donate_argnums=(0,))
+            self._pass_fns[(k, region)] = fn
         return fn
 
     # -------------------------------------------------------- pass kernel
 
-    def _rays_for(self, xy_jitter, key, k: int = 1):
+    def _rays_for(self, xy_jitter, key, k: int, region):
         cfg, cam = self.cfg, self.camera
-        h, w = cfg.height, cfg.width
+        x0, y0, rw, rh = region
         ys, xs = jnp.meshgrid(
-            jnp.arange(h, dtype=jnp.float32),
-            jnp.arange(w, dtype=jnp.float32), indexing="ij")
+            y0 + jnp.arange(rh, dtype=jnp.float32),
+            x0 + jnp.arange(rw, dtype=jnp.float32), indexing="ij")
         px = jnp.stack([xs, ys], axis=-1).reshape(-1, 2)
         if k > 1:
             px = jnp.tile(px, (k, 1))
         m = px.shape[0]
         if xy_jitter.shape[0] != m:          # centered single-sample case
             xy_jitter = jnp.broadcast_to(xy_jitter[:1], (m, 2))
-        xy = (px + xy_jitter) / jnp.array([w, h], jnp.float32)
+        xy = (px + xy_jitter) / jnp.array([cfg.width, cfg.height],
+                                          jnp.float32)
         if cfg.thin_lens:
             k1, k2 = jax.random.split(key)
             rnd_r = jax.random.uniform(k1, (m,))
@@ -79,11 +105,11 @@ class Renderer:
             return cam.generate_rays_thin_lens(xy, rnd_r, rnd_th)
         return cam.generate_rays(xy)
 
-    def _sample_pass(self, acc, key, sample_idx, k: int):
+    def _sample_pass(self, acc, key, sample_idx, k: int, region):
         """Trace `k` jittered samples for every pixel in ONE megabatch
         (k·N lanes), masked-accumulate.
 
-        acc = (radiance_sum (N,3), s1, s2, count, done) with N = H·W.
+        acc = (radiance_sum (N,3), s1, s2, count, done) with N = rw·rh.
         `sample_idx` is the first sample index of the pass; when adaptive,
         `k` divides samples_per_batch so convergence tests still happen
         exactly at batch boundaries (part1_code.cpp:147-159).
@@ -91,12 +117,12 @@ class Renderer:
         cfg = self.cfg
         rad_sum, s1, s2, count, done = acc
         k_jit, k_lens, k_rad = jax.random.split(key, 3)
-        n = cfg.width * cfg.height
+        n = region[2] * region[3]
         if cfg.ns_aa == 1:
             jitter = jnp.full((n, 2), 0.5, jnp.float32)
         else:
             jitter = jax.random.uniform(k_jit, (k * n, 2), jnp.float32)
-        rays = self._rays_for(jitter, k_lens, k)
+        rays = self._rays_for(jitter, k_lens, k, region)
         if self.sharding is not None:
             rays = jax.lax.with_sharding_constraint(rays, self.sharding)
         L = est_radiance(self.scene, self.bh, rays, cfg, k_rad)
@@ -125,75 +151,166 @@ class Renderer:
 
         return (rad_sum, s1, s2, count, done)
 
+    # -------------------------------------------------------- checkpoints
+
+    def _fingerprint(self, region):
+        cfg = self.cfg
+        return np.array([cfg.width, cfg.height, cfg.ns_aa, cfg.seed,
+                         *region], np.int64)
+
+    def save_checkpoint(self, path: str, acc, s: int, region):
+        rad_sum, s1, s2, count, done = (np.asarray(a) for a in acc)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, rad_sum=rad_sum, s1=s1, s2=s2, count=count, done=done,
+                 s=np.int64(s), fingerprint=self._fingerprint(region))
+        os.replace(tmp, path)
+
+    def load_checkpoint(self, path: str, region):
+        z = np.load(path)
+        if not np.array_equal(z["fingerprint"], self._fingerprint(region)):
+            raise ValueError(
+                f"checkpoint {path} does not match this render config")
+        acc = (jnp.asarray(z["rad_sum"]), jnp.asarray(z["s1"]),
+               jnp.asarray(z["s2"]), jnp.asarray(z["count"]),
+               jnp.asarray(z["done"]))
+        return acc, int(z["s"])
+
     # -------------------------------------------------------- driver
 
-    def render(self, progress=None) -> Tuple[np.ndarray, np.ndarray]:
-        """Full-frame render. Returns (hdr (H,W,3), sample_count (H,W))."""
+    def render(self, progress=None, region=None, checkpoint_path=None,
+               checkpoint_every: Optional[int] = None,
+               preview_path=None, preview_every: Optional[int] = None,
+               resume: bool = False, stop_after: Optional[int] = None,
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Render `region` (default full frame). Returns
+        (hdr (rh,rw,3), sample_count (rh,rw)).
+
+        checkpoint_path/-_every: persist the accumulator every N samples
+        (and on cancellation); `resume=True` continues from the checkpoint.
+        preview_path/-_every: write a progressive PNG every N samples.
+        stop_after: cancel after that many samples (test hook for the
+        cancellation path).
+        """
         cfg = self.cfg
-        n = cfg.width * cfg.height
-        acc = (
-            jnp.zeros((n, 3), jnp.float32),
-            jnp.zeros(n, jnp.float32),
-            jnp.zeros(n, jnp.float32),
-            jnp.zeros(n, jnp.int32),
-            jnp.zeros(n, bool),
-        )
+        if region is None:
+            region = (0, 0, cfg.width, cfg.height)
+        region = tuple(int(v) for v in region)
+        x0, y0, rw, rh = region
+        n = rw * rh
+        s = 0
+        acc = None
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            acc, s = self.load_checkpoint(checkpoint_path, region)
+        if acc is None:
+            acc = (
+                jnp.zeros((n, 3), jnp.float32),
+                jnp.zeros(n, jnp.float32),
+                jnp.zeros(n, jnp.float32),
+                jnp.zeros(n, jnp.int32),
+                jnp.zeros(n, bool),
+            )
         base = jax.random.key(cfg.seed)
         # samples per pass: fill the chip with up to max_pass_lanes lanes;
         # under adaptive sampling k must divide samples_per_batch so the
         # 1.96σ test lands exactly on batch boundaries
+        # NOTE: k must depend only on the config — per-pass PRNG keys are
+        # derived from the pass's first sample index, so resume bit-matches
+        # an uninterrupted render only if the pass partition is identical.
+        # Checkpoints/previews/stops land on pass boundaries.
         k = max(1, min(cfg.ns_aa, cfg.max_pass_lanes // max(n, 1)))
         if cfg.adaptive:
             while cfg.samples_per_batch % k != 0:
                 k -= 1
-        s = 0
-        while s < cfg.ns_aa:
-            ks = min(k, cfg.ns_aa - s)
-            acc = self._pass_fn(ks)(acc, jax.random.fold_in(base, s),
-                                    jnp.asarray(s, jnp.int32))
-            s += ks
-            if cfg.adaptive and s % cfg.samples_per_batch == 0:
-                if bool(jnp.all(acc[4])):
+        self._stop = False
+        cancelled = False
+        try:
+            while s < cfg.ns_aa:
+                ks = min(k, cfg.ns_aa - s)
+                acc = self._pass_fn(ks, region)(
+                    acc, jax.random.fold_in(base, s),
+                    jnp.asarray(s, jnp.int32))
+                s += ks
+                if cfg.adaptive and s % cfg.samples_per_batch == 0:
+                    if bool(jnp.all(acc[4])):
+                        break
+                if progress is not None:
+                    progress(s, cfg.ns_aa)
+                if checkpoint_path and checkpoint_every \
+                        and s // checkpoint_every > (s - ks) // checkpoint_every:
+                    self.save_checkpoint(checkpoint_path, acc, s, region)
+                if preview_path and preview_every and s < cfg.ns_aa \
+                        and s // preview_every > (s - ks) // preview_every:
+                    self._write_preview(preview_path, acc, region)
+                if (stop_after is not None and s >= stop_after) \
+                        or self._stop:
+                    cancelled = True
                     break
-            if progress is not None:
-                progress(s, cfg.ns_aa)
+        except KeyboardInterrupt:
+            # the input accumulator was donated to the in-flight pass; the
+            # pass result `acc` may or may not have materialized — save
+            # best-effort and report the interruption either way
+            cancelled = True
+        if cancelled and checkpoint_path:
+            try:
+                self.save_checkpoint(checkpoint_path, acc, s, region)
+            except Exception:
+                pass  # donated/deleted buffers: keep the last periodic save
         rad_sum, _, _, count, _ = acc
-        count = np.asarray(count).reshape(cfg.height, cfg.width)
-        hdr = (np.asarray(rad_sum).reshape(cfg.height, cfg.width, 3)
+        count = np.asarray(count).reshape(rh, rw)
+        hdr = (np.asarray(rad_sum).reshape(rh, rw, 3)
                / np.maximum(count[..., None], 1))
         self.last_sample_count = count
+        self.samples_done = s
+        self.cancelled = cancelled
         return hdr, count
+
+    def _write_preview(self, path: str, acc, region):
+        rad_sum, _, _, count, _ = acc
+        x0, y0, rw, rh = region
+        count_np = np.asarray(count).reshape(rh, rw)
+        hdr = (np.asarray(rad_sum).reshape(rh, rw, 3)
+               / np.maximum(count_np[..., None], 1))
+        film.save_image(path, hdr)
 
     def stats(self, wall_seconds: float = 0.0):
         """Trace-count accounting (reference total_rays analog,
-        pathtracer.cpp:637-638)."""
+        pathtracer.cpp:637-638). Counts are exact: every lane is traced in
+        lockstep, and the per-pixel sample counter is the measured one."""
         from rrt_tpu.render.lights import is_delta_light
         from rrt_tpu.utils.stats import expected_stats
         nls = sum(
             1 if is_delta_light(self.scene.lights, i) else
             self.cfg.ns_area_light
             for i in range(len(self.scene.lights.kind_host)))
-        done = getattr(self, "last_sample_count", None)
-        samples = int(done.mean()) if done is not None else self.cfg.ns_aa
-        st = expected_stats(self.cfg, nls, samples)
+        counts = getattr(self, "last_sample_count", None)
+        if counts is not None:
+            total_samples = int(counts.sum())
+        else:
+            total_samples = (self.cfg.ns_aa
+                             * self.cfg.width * self.cfg.height)
+        st = expected_stats(self.cfg, nls, total_lane_samples=total_samples)
         st.wall_seconds = wall_seconds
         return st
 
-    def render_cell(self, x, y, dx, dy) -> np.ndarray:
-        """Re-render a sub-rectangle (`-p x y dx dy`, pathtracer.cpp:583-609):
-        renders the full frame pass but returns only the cell."""
-        hdr, _ = self.render()
-        return hdr[y:y + dy, x:x + dx]
+    def render_cell(self, x, y, dx, dy, **kw) -> np.ndarray:
+        """Re-render a sub-rectangle (`-p x y dx dy`, pathtracer.cpp:583-609).
+        Rays are generated only for the cell: wall-time ∝ cell area."""
+        hdr, _ = self.render(region=(x, y, dx, dy), **kw)
+        return hdr
 
-    def render_to_file(self, path: str, cell=None, progress=None):
+    def render_to_file(self, path: str, cell=None, progress=None, **kw):
         """Headless render → PNG (+ the reference's unconditional
         sampling-rate heatmap companion, pathtracer.cpp:684)."""
-        hdr, count = self.render(progress=progress)
         if cell is not None:
             x, y, dx, dy = cell
-            full = np.zeros_like(hdr)
-            full[y:y + dy, x:x + dx] = hdr[y:y + dy, x:x + dx]
-            hdr = full
+            hdr_cell, count_cell = self.render(
+                region=(x, y, dx, dy), progress=progress, **kw)
+            hdr = np.zeros((self.cfg.height, self.cfg.width, 3), np.float32)
+            hdr[y:y + dy, x:x + dx] = hdr_cell
+            count = np.zeros((self.cfg.height, self.cfg.width), np.int32)
+            count[y:y + dy, x:x + dx] = count_cell
+        else:
+            hdr, count = self.render(progress=progress, **kw)
         film.save_image(path, hdr)
         base = path[:-4] if path.endswith(".png") else path
         film.save_sampling_rate_image(base + "_rate.png", count, self.cfg.ns_aa)

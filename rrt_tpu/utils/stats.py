@@ -49,16 +49,17 @@ class RenderStats:
 
 
 def expected_stats(cfg: RenderConfig, n_lights_total_samples: int,
-                   samples_done: int) -> RenderStats:
-    """Exact lockstep trace counts for a full-frame render.
+                   total_lane_samples: int) -> RenderStats:
+    """Exact lockstep trace counts for a render.
 
     n_lights_total_samples = Σ over lights of (1 if delta else
     ns_area_light) — the per-vertex NEE batch height.
+    total_lane_samples = Σ over pixels of the measured per-pixel sample
+    count (exact under adaptive sampling, not a mean).
     """
     from rrt_tpu.physics.schwarzschild import n_segments
 
-    n_px = cfg.width * cfg.height
-    lanes = n_px * samples_done
+    lanes = total_lane_samples
     st = RenderStats(camera_rays=lanes)
     md = cfg.max_ray_depth
     if cfg.illum == Illum.NORMAL:
