@@ -4,30 +4,32 @@ intersection, entirely on-chip.
 This replaces the XLA composition in `geometry/trace.py` on the hot path.
 The XLA version streams (rays × tris) intermediates through HBM once per
 segment group (~63× a flat trace). Here one kernel invocation marches a
-1024-ray tile through all ≤⌈2π/Δθ⌉ segments:
+1024-ray tile through all ≤⌈2π/Δθ⌉ segments.
+
+Layout / culling design (v2):
 
   * each per-ray quantity is one FULL (8,128) register tile — every vector
     op runs at native VPU width;
-  * triangle data (v0, e1, e2 precomputed) lives in SMEM; the inner loop
-    broadcasts one triangle's scalars against the whole ray tile per
-    iteration (the TPU-idiomatic replacement for per-lane gathers);
-  * triangles are Morton-ordered (`geometry/clusters.py`); each segment
-    slab-tests the tile against every cluster AABB (scalar bbox × vector
-    rays) and `lax.cond`-skips clusters no ray touches — dense two-level
-    culling with zero divergence;
-  * a `lax.while_loop` over segments exits as soon as every ray in the
-    tile has an event (tile-level early exit, finer than the XLA path's
-    batch-level exit).
+  * the geodesic march runs ONCE per ray tile (phase 1, part 0 of the grid)
+    and stores every chord (origin, direction, length) in a VMEM scratch
+    table; absorption is geometry-independent, so the first-absorption
+    segment is resolved here too and seeds the merge state;
+  * triangles are Morton-ordered (`geometry/clusters.py`) and split into
+    SMEM-resident parts of PART_TRIS rows; the part index is a sequential
+    grid dimension. Per (part, segment) a single PART-level AABB slab test
+    gates the per-cluster loop, and each cluster AABB gates its triangle
+    loop — three-level dense culling with zero divergence;
+  * the merged best event (segment index, then chord t) lives in the
+    VMEM-resident output blocks across the part dimension, so every part
+    bounds its segment loop by the best event found so far by ANY part
+    (and by absorption): a tile whose rays all resolve in the first few
+    chords never marches the remaining ~60 segments against any part.
 
 Semantics match `bvh.cpp:103-113` exactly: chords carry their own
 [0, len] ranges, event-horizon absorption beats same-segment geometry,
 2π exhaustion = escape, and the original ray's min_t/max_t are ignored in
-curved mode. With `curved=False` the same body runs one segment honoring
+curved mode. With `curved=False` the same scan runs one segment honoring
 min_t/max_t — the flat fast path.
-
-SMEM residency bounds the scene size per kernel (see SMEM_TRI_BUDGET);
-larger scenes currently fall back to the XLA path (a DMA-streaming variant
-is the planned follow-up).
 
 Barycentrics are not tracked in-kernel; the winning primitive is re-tested
 outside (one triangle per ray) to rebuild the shading payload.
@@ -46,30 +48,36 @@ from rrt_tpu.geometry.intersect import build_hit, tri_intersect
 from rrt_tpu.types import BlackHoleParams, Hit, Rays, SceneData
 
 BIG = 3e37
-# triangle rows per part (12 f32 each, double-buffered in SMEM against a
-# ~1 MiB budget; bigger scenes iterate Morton-contiguous parts as a
-# sequential grid dimension with in-kernel merging). Must be a multiple of
-# 8×cluster_size: SMEM blocks need row counts divisible by 8.
-PART_TRIS = 512
+# triangle rows per SMEM-resident part (12 f32 each ≈ 24 KiB). Must be a
+# multiple of 8×cluster_size: SMEM blocks need row counts divisible by 8.
+PART_TRIS = 2048
 # total triangle capacity of the partitioned path (sanity cap)
 SMEM_TRI_BUDGET = 1 << 20
 
 
-def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
+def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
+                                     # bbox lo xyz / hi xyz (tris+spheres)
             ox_ref, oy_ref, oz_ref,  # (1,8,128) ray origin tile
             dx_ref, dy_ref, dz_ref,
             mint_ref, maxt_ref,
-            tri_ref,                 # (T,12) SMEM: v0,e1,e2,valid,pad
-            cl_ref,                  # (K,8) SMEM: lo xyz, hi xyz, pad
+            tri_ref,                 # (12,P) SMEM part: v0,e1,e2,valid,pad
+                                     # (transposed: SMEM pads the minor dim
+                                     # to 128 words, so rows must be dense)
+            cl_ref,                  # (cpp,8) SMEM part: lo xyz, hi xyz, pad
             sph_ref,                 # (S,4) SMEM: cx,cy,cz,r
-            # outputs (1,8,128)
+            pbox_ref,                # (n_parts,8) SMEM: part lo/hi xyz, pad
+            # outputs (1,8,128): merged best-event state across parts
             hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
             sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
+            chords,                  # VMEM scratch (n_chord,7,8,128)
+            ltouch,                  # VMEM scratch (1,8,128) i32: last seg
+                                     # whose chord touches the scene bbox
             *, curved: bool, n_seg: int, n_tri_rows: int,
             cluster_size: int, n_parts: int):
-    T = tri_ref.shape[0]
-    K = cl_ref.shape[0]
+    P = tri_ref.shape[1]             # triangle rows in this part
+    cpp = cl_ref.shape[0]            # clusters in this part
     S = sph_ref.shape[0]
+    p = pl.program_id(1) if n_parts > 1 else 0
 
     bh_px = bhp_ref[0, 0]
     bh_py = bhp_ref[0, 1]
@@ -81,7 +89,7 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
 
     f0 = jnp.zeros((8, 128), jnp.float32)
-    ZERO = f0
+    i_nseg = jnp.full((8, 128), n_seg, jnp.int32)
 
     def march(px, py, pz, ux, uy, uz):
         """One Δθ geodesic step (blackhole.cpp:17-40), component form."""
@@ -143,8 +151,30 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
         ok2 = (t2 >= 0.0) & (t2 <= clen)
         return has & (ok1 | ok2) & (bh_r > 0.0)
 
-    def segment_best(px, py, pz, ux, uy, uz, tmin, tmax):
-        """Closest hit of chords [tmin, tmax] against the scene."""
+    def slab(lox, loy, loz, hix, hiy, hiz,
+             px, py, pz, ix, iy, iz, tmin, tmax):
+        """Does any lane's [tmin, tmax] chord touch the (scalar) box?
+        Lanes with tmax < tmin never reach."""
+        tx0 = (lox - px) * ix
+        tx1 = (hix - px) * ix
+        ty0 = (loy - py) * iy
+        ty1 = (hiy - py) * iy
+        tz0 = (loz - pz) * iz
+        tz1 = (hiz - pz) * iz
+        tmn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                      jnp.minimum(ty0, ty1)),
+                          jnp.minimum(tz0, tz1))
+        tmx = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                      jnp.maximum(ty0, ty1)),
+                          jnp.maximum(tz0, tz1))
+        return ((tmn <= tmx) & (tmn <= tmax) & (tmx >= tmin)
+                & (tmax >= tmin))
+
+    def scan_part(px, py, pz, ux, uy, uz, tmin, tmax, do_tris):
+        """Best (t, local prim) of chords [tmin, tmax] against this part's
+        clusters (gated by the caller's part-AABB test `do_tris`) plus —
+        on part 0 only — the global sphere list. Lanes with tmax < tmin
+        match nothing."""
         inv_x = 1.0 / ux
         inv_y = 1.0 / uy
         inv_z = 1.0 / uz
@@ -152,16 +182,16 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
         def tri_body(ti, carry):
             """One triangle broadcast against the whole ray tile."""
             best_t, best_p = carry
-            v0x = tri_ref[ti, 0]
-            v0y = tri_ref[ti, 1]
-            v0z = tri_ref[ti, 2]
-            e1x = tri_ref[ti, 3]
-            e1y = tri_ref[ti, 4]
-            e1z = tri_ref[ti, 5]
-            e2x = tri_ref[ti, 6]
-            e2y = tri_ref[ti, 7]
-            e2z = tri_ref[ti, 8]
-            valid = tri_ref[ti, 9] > 0.0
+            v0x = tri_ref[0, ti]
+            v0y = tri_ref[1, ti]
+            v0z = tri_ref[2, ti]
+            e1x = tri_ref[3, ti]
+            e1y = tri_ref[4, ti]
+            e1z = tri_ref[5, ti]
+            e2x = tri_ref[6, ti]
+            e2y = tri_ref[7, ti]
+            e2z = tri_ref[8, ti]
+            valid = tri_ref[9, ti] > 0.0
             sx = px - v0x
             sy = py - v0y
             sz = pz - v0z
@@ -186,25 +216,9 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
                     jnp.where(closer, ti, best_p))
 
         def cluster_body(k, carry):
-            lox = cl_ref[k, 0]
-            loy = cl_ref[k, 1]
-            loz = cl_ref[k, 2]
-            hix = cl_ref[k, 3]
-            hiy = cl_ref[k, 4]
-            hiz = cl_ref[k, 5]
-            tx0 = (lox - px) * inv_x
-            tx1 = (hix - px) * inv_x
-            ty0 = (loy - py) * inv_y
-            ty1 = (hiy - py) * inv_y
-            tz0 = (loz - pz) * inv_z
-            tz1 = (hiz - pz) * inv_z
-            tmn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                          jnp.minimum(ty0, ty1)),
-                              jnp.minimum(tz0, tz1))
-            tmx = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                          jnp.maximum(ty0, ty1)),
-                              jnp.maximum(tz0, tz1))
-            reach = (tmn <= tmx) & (tmn <= tmax) & (tmx >= tmin)
+            reach = slab(cl_ref[k, 0], cl_ref[k, 1], cl_ref[k, 2],
+                         cl_ref[k, 3], cl_ref[k, 4], cl_ref[k, 5],
+                         px, py, pz, inv_x, inv_y, inv_z, tmin, tmax)
             pred = jnp.max(reach.astype(jnp.float32)) > 0.0
 
             def do(c):
@@ -212,11 +226,6 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
                     k * cluster_size, (k + 1) * cluster_size, tri_body, c)
 
             return jax.lax.cond(pred, do, lambda c: c, carry)
-
-        best_t = jnp.full((8, 128), BIG, jnp.float32)
-        best_p = jnp.full((8, 128), -1, jnp.int32)
-        best_t, best_p = jax.lax.fori_loop(
-            0, K, cluster_body, (best_t, best_p))
 
         def sph_body(si, carry):
             best_t, best_p = carry
@@ -243,129 +252,207 @@ def _kernel(bhp_ref,                 # (1,8) SMEM: bh px,py,pz,r,dθ
             return (jnp.where(closer, t_m, best_t),
                     jnp.where(closer, n_tri_rows + si, best_p))
 
-        best_t, best_p = jax.lax.fori_loop(
-            0, S, sph_body, (best_t, best_p))
-        return best_t, best_p
+        carry = (jnp.full((8, 128), BIG, jnp.float32),
+                 jnp.full((8, 128), -1, jnp.int32))
+        carry = jax.lax.cond(
+            do_tris,
+            lambda c: jax.lax.fori_loop(0, cpp, cluster_body, c),
+            lambda c: c, carry)
+        if S > 0:
+            # spheres are global: test them once, on part 0
+            carry = jax.lax.cond(
+                p == 0,
+                lambda c: jax.lax.fori_loop(0, S, sph_body, c),
+                lambda c: c, carry)
+        return carry
 
-    # -------------------------------------------------- march/trace loop
+    def merge_update(s_idx, bt, bp, cox, coy, coz, cdx, cdy, cdz):
+        """Fold this segment's candidates into the cross-part best-event
+        state by the first-event rule (segment index, then chord t)."""
+        seg = seg_ref[0]
+        hitm = hit_ref[0] > 0.0
+        cur_t = t_ref[0]
+        better = (bp >= 0) & ((s_idx < seg)
+                              | ((s_idx == seg) & hitm & (bt < cur_t)))
+        bp_g = jnp.where((bp >= 0) & (bp < P), bp + p * P, bp)
+        hit_ref[0] = jnp.where(better, 1.0, hit_ref[0])
+        abs_ref[0] = jnp.where(better, 0.0, abs_ref[0])
+        t_ref[0] = jnp.where(better, bt, cur_t)
+        prim_ref[0] = jnp.where(better, bp_g, prim_ref[0])
+        seg_ref[0] = jnp.where(better, s_idx, seg)
+        sox_ref[0] = jnp.where(better, cox, sox_ref[0])
+        soy_ref[0] = jnp.where(better, coy, soy_ref[0])
+        soz_ref[0] = jnp.where(better, coz, soz_ref[0])
+        sdx_ref[0] = jnp.where(better, cdx, sdx_ref[0])
+        sdy_ref[0] = jnp.where(better, cdy, sdy_ref[0])
+        sdz_ref[0] = jnp.where(better, cdz, sdz_ref[0])
 
+    # ------------------------------------------------ phase 1 (part 0):
+    # march all chords once into VMEM scratch; resolve absorption and
+    # degenerate-death bounds (both geometry-independent).
     if curved:
-        # masks carried as f32 0/1 — Mosaic cannot select between bool
-        # (i1) vectors
-        init = (jnp.int32(0),
-                ox, oy, oz, dx, dy, dz,
-                f0, f0, f0,                       # done, dead, absorbed
-                jnp.full((8, 128), BIG, jnp.float32),
-                jnp.full((8, 128), -1, jnp.int32),
-                jnp.full((8, 128), n_seg, jnp.int32),   # event segment
-                ox, oy, oz, dx, dy, dz)
-
-        def cond(st):
-            s, _, _, _, _, _, _, done_f, dead_f, *_ = st
-            active = (done_f == 0.0) & (dead_f == 0.0)
-            return (s < n_seg) & jnp.any(active)
-
-        def body(st):
-            (s, px, py, pz, ux, uy, uz, done_f, dead_f, absd_f,
-             out_t, out_p, out_s, sox, soy, soz, sdx, sdy, sdz) = st
-            done = done_f > 0.0
-            ndx, ndy, ndz, clen, sdead = march(px, py, pz, ux, uy, uz)
-            # done lanes keep marching in lockstep; a later degenerate step
-            # must not retro-kill their recorded event
-            dead_f = jnp.maximum(dead_f,
-                                 (sdead & ~done).astype(jnp.float32))
-            dead2 = dead_f > 0.0
-            clen = jnp.where(dead2, 0.0, clen)
-            ab = absorb(px, py, pz, ndx, ndy, ndz, clen) & ~dead2
-            bt, bp = segment_best(px, py, pz, ndx, ndy, ndz, ZERO, clen)
-            hit_seg = bt < BIG
-            newly = (hit_seg | ab) & ~done & ~dead2
-            upd = lambda cur, new: jnp.where(newly, new, cur)
-            out_t = upd(out_t, bt)
-            out_p = upd(out_p, bp)
-            out_s = upd(out_s, jnp.full((8, 128), 1, jnp.int32) * s)
-            sox = upd(sox, px)
-            soy = upd(soy, py)
-            soz = upd(soz, pz)
-            sdx = upd(sdx, ndx)
-            sdy = upd(sdy, ndy)
-            sdz = upd(sdz, ndz)
-            absd_f = jnp.where(newly, ab.astype(jnp.float32), absd_f)
-            done_f = jnp.maximum(done_f, newly.astype(jnp.float32))
-            npx = px + ndx * clen
-            npy = py + ndy * clen
-            npz = pz + ndz * clen
-            return (s + 1, npx, npy, npz, ndx, ndy, ndz, done_f, dead_f,
-                    absd_f, out_t, out_p, out_s, sox, soy, soz,
-                    sdx, sdy, sdz)
-
-        st = jax.lax.while_loop(cond, body, init)
-        (_, _, _, _, _, _, _, done_f, dead_f, absd_f,
-         out_t, out_p, out_s, sox, soy, soz, sdx, sdy, sdz) = st
-        hit = (done_f > 0.0) & (absd_f == 0.0) & (dead_f == 0.0)
-        absd_out = absd_f
-    else:
-        bt, bp = segment_best(ox, oy, oz, dx, dy, dz,
-                              mint_ref[0], maxt_ref[0])
-        hit = bt < BIG
-        absd_out = f0
-        out_t, out_p = bt, bp
-        out_s = jnp.zeros((8, 128), jnp.int32)
-        sox, soy, soz = ox, oy, oz
-        sdx, sdy, sdz = dx, dy, dz
-
-    # Globalize triangle ids: part p covers rows [p·T, (p+1)·T) of the
-    # padded table; sphere ids (≥ n_tri_rows ≥ T) are already global.
-    p = pl.program_id(1) if n_parts > 1 else 0
-    out_p = jnp.where((out_p >= 0) & (out_p < T), out_p + p * T, out_p)
-    t_m = jnp.where(hit, out_t, 0.0)
-    p_m = jnp.where(hit, out_p, -1)
-
-    def write_fresh():
-        hit_ref[0] = hit.astype(jnp.float32)
-        abs_ref[0] = absd_out
-        t_ref[0] = t_m
-        prim_ref[0] = p_m
-        seg_ref[0] = out_s
-        sox_ref[0] = sox
-        soy_ref[0] = soy
-        soz_ref[0] = soz
-        sdx_ref[0] = sdx
-        sdy_ref[0] = sdy
-        sdz_ref[0] = sdz
-
-    if n_parts == 1:
-        write_fresh()
-    else:
-        # Output blocks are revisited across the part grid dimension: merge
-        # this part's events with the running best by the first-event rule
-        # (segment index, then chord t). Geometry-independent absorption is
-        # AND-merged: a part only reports non-absorbed if its geometry
-        # produced a hit before the absorption segment.
         @pl.when(p == 0)
         def _():
-            write_fresh()
+            glox = bhp_ref[0, 5]
+            gloy = bhp_ref[0, 6]
+            gloz = bhp_ref[0, 7]
+            ghix = bhp_ref[0, 8]
+            ghiy = bhp_ref[0, 9]
+            ghiz = bhp_ref[0, 10]
 
-        @pl.when(p > 0)
+            def cond(c):
+                s = c[0]
+                open_any = c[-1]
+                return (s < n_seg) & open_any
+
+            def body(c):
+                (s, px, py, pz, ux, uy, uz, dead_f, end_seg, abs_f,
+                 last_t, _) = c
+                ndx, ndy, ndz, clen, sdead = march(px, py, pz, ux, uy, uz)
+                dead_f = jnp.maximum(dead_f, sdead.astype(jnp.float32))
+                clen = jnp.where(dead_f > 0.0, 0.0, clen)
+                chords[s, 0] = px
+                chords[s, 1] = py
+                chords[s, 2] = pz
+                chords[s, 3] = ndx
+                chords[s, 4] = ndy
+                chords[s, 5] = ndz
+                chords[s, 6] = clen
+                # geometry is only reachable on chords touching the global
+                # scene bbox; the LAST touching segment (over the whole
+                # march, so lensed re-entry is exact) bounds phase 2
+                touch = slab(glox, gloy, gloz, ghix, ghiy, ghiz,
+                             px, py, pz, 1.0 / ndx, 1.0 / ndy, 1.0 / ndz,
+                             jnp.zeros((8, 128), jnp.float32), clen)
+                last_t = jnp.where(touch & (dead_f == 0.0), s, last_t)
+                ab = absorb(px, py, pz, ndx, ndy, ndz, clen) & (
+                    dead_f == 0.0)
+                open_lane = end_seg >= n_seg
+                close = (ab | (dead_f > 0.0)) & open_lane
+                end_seg = jnp.where(close, s, end_seg)
+                abs_f = jnp.where(close & ab, 1.0, abs_f)
+                npx = px + ndx * clen
+                npy = py + ndy * clen
+                npz = pz + ndz * clen
+                open_any = jnp.max(
+                    (end_seg >= n_seg).astype(jnp.float32)) > 0.0
+                return (s + 1, npx, npy, npz, ndx, ndy, ndz, dead_f,
+                        end_seg, abs_f, last_t, open_any)
+
+            init = (jnp.int32(0), ox, oy, oz, dx, dy, dz, f0,
+                    i_nseg, f0, jnp.full((8, 128), -1, jnp.int32),
+                    jnp.bool_(True))
+            fin = jax.lax.while_loop(cond, body, init)
+            end_seg, abs_f, last_t = fin[8], fin[9], fin[10]
+            ltouch[0] = last_t
+            # seed the merge state: absorption (or death) bounds the
+            # first-event search; geometry must land strictly earlier.
+            hit_ref[0] = f0
+            abs_ref[0] = abs_f
+            t_ref[0] = jnp.full((8, 128), BIG, jnp.float32)
+            prim_ref[0] = jnp.full((8, 128), -1, jnp.int32)
+            seg_ref[0] = end_seg
+            sox_ref[0] = ox
+            soy_ref[0] = oy
+            soz_ref[0] = oz
+            sdx_ref[0] = dx
+            sdy_ref[0] = dy
+            sdz_ref[0] = dz
+
+        # -------------------------------------------- phase 2 (all parts):
+        # loop segments while any lane can still improve on the merged
+        # best event; per segment one part-AABB test gates the clusters.
+        def improvable(s):
+            """Per-lane: can segment s still improve the merged best?"""
+            seg = seg_ref[0]
+            hitm = hit_ref[0] > 0.0
+            return ((s < seg) | ((s == seg) & hitm)) & (s <= ltouch[0])
+
+        def seg_cond(c):
+            s, improv = c
+            return (s < n_seg) & improv
+
+        def seg_body(c):
+            s, _ = c
+            cox = chords[s, 0]
+            coy = chords[s, 1]
+            coz = chords[s, 2]
+            cdx = chords[s, 3]
+            cdy = chords[s, 4]
+            cdz = chords[s, 5]
+            clen = chords[s, 6]
+            seg = seg_ref[0]
+            hitm = hit_ref[0] > 0.0
+            cur_t = t_ref[0]
+            lt = (s < seg) & (s <= ltouch[0])
+            eq = (s == seg) & hitm & (s <= ltouch[0])
+            tmax_eff = jnp.where(
+                lt, clen,
+                jnp.where(eq, jnp.minimum(clen, cur_t), -1.0))
+            # one part-AABB slab test gates everything else this segment
+            part_reach = slab(
+                pbox_ref[p, 0], pbox_ref[p, 1], pbox_ref[p, 2],
+                pbox_ref[p, 3], pbox_ref[p, 4], pbox_ref[p, 5],
+                cox, coy, coz, 1.0 / cdx, 1.0 / cdy, 1.0 / cdz,
+                jnp.zeros((8, 128), jnp.float32), tmax_eff)
+            do_tris = jnp.max(part_reach.astype(jnp.float32)) > 0.0
+            any_improv = jnp.max(
+                (tmax_eff >= 0.0).astype(jnp.float32)) > 0.0
+            if S > 0:
+                gate = do_tris | ((p == 0) & any_improv)
+            else:
+                gate = do_tris
+
+            @pl.when(gate)
+            def _():
+                bt, bp = scan_part(
+                    cox, coy, coz, cdx, cdy, cdz,
+                    jnp.zeros((8, 128), jnp.float32), tmax_eff,
+                    do_tris=do_tris)
+                merge_update(s, bt, bp, cox, coy, coz, cdx, cdy, cdz)
+
+            s2 = s + 1
+            improv = jnp.max(improvable(s2).astype(jnp.float32)) > 0.0
+            return (s2, improv)
+
+        improv0 = jnp.max(
+            improvable(jnp.int32(0)).astype(jnp.float32)) > 0.0
+        jax.lax.while_loop(seg_cond, seg_body, (jnp.int32(0), improv0))
+    else:
+        # flat: one "segment" = the original ray honoring min_t/max_t
+        @pl.when(p == 0)
         def _():
-            ph = hit_ref[0] > 0.0
-            pabs = abs_ref[0] > 0.0
-            pt = t_ref[0]
-            pp = prim_ref[0]
-            ps = seg_ref[0]
-            better = hit & (
-                (~ph) | (out_s < ps) | ((out_s == ps) & (t_m < pt)))
-            hit_ref[0] = (ph | hit).astype(jnp.float32)
-            abs_ref[0] = (pabs & (absd_out > 0.0)).astype(jnp.float32)
-            t_ref[0] = jnp.where(better, t_m, pt)
-            prim_ref[0] = jnp.where(better, p_m, pp)
-            seg_ref[0] = jnp.where(better, out_s, ps)
-            sox_ref[0] = jnp.where(better, sox, sox_ref[0])
-            soy_ref[0] = jnp.where(better, soy, soy_ref[0])
-            soz_ref[0] = jnp.where(better, soz, soz_ref[0])
-            sdx_ref[0] = jnp.where(better, sdx, sdx_ref[0])
-            sdy_ref[0] = jnp.where(better, sdy, sdy_ref[0])
-            sdz_ref[0] = jnp.where(better, sdz, sdz_ref[0])
+            hit_ref[0] = f0
+            abs_ref[0] = f0
+            t_ref[0] = jnp.full((8, 128), BIG, jnp.float32)
+            prim_ref[0] = jnp.full((8, 128), -1, jnp.int32)
+            # "no event yet" = segment 1: flat events land at segment 0 and
+            # must satisfy the strict first-event rule (s < seg)
+            seg_ref[0] = jnp.ones((8, 128), jnp.int32)
+            sox_ref[0] = ox
+            soy_ref[0] = oy
+            soz_ref[0] = oz
+            sdx_ref[0] = dx
+            sdy_ref[0] = dy
+            sdz_ref[0] = dz
+
+        hitm = hit_ref[0] > 0.0
+        cur_t = t_ref[0]
+        tmax_eff = jnp.where(hitm, jnp.minimum(maxt_ref[0], cur_t),
+                             maxt_ref[0])
+        part_reach = slab(
+            pbox_ref[p, 0], pbox_ref[p, 1], pbox_ref[p, 2],
+            pbox_ref[p, 3], pbox_ref[p, 4], pbox_ref[p, 5],
+            ox, oy, oz, 1.0 / dx, 1.0 / dy, 1.0 / dz,
+            mint_ref[0], tmax_eff)
+        do_tris = jnp.max(part_reach.astype(jnp.float32)) > 0.0
+
+        @pl.when(do_tris | (p == 0))
+        def _():
+            bt, bp = scan_part(ox, oy, oz, dx, dy, dz, mint_ref[0],
+                               tmax_eff, do_tris=do_tris)
+            merge_update(jnp.zeros((8, 128), jnp.int32), bt, bp,
+                         ox, oy, oz, dx, dy, dz)
 
 
 def pallas_supported(scene: SceneData) -> bool:
@@ -424,35 +511,57 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
     ], axis=1)                                        # (K0, 8)
     if T_pad > T:
         tri_tab = jnp.pad(tri_tab, ((0, T_pad - T), (0, 0)))
+    tri_tab = tri_tab.T                               # (12, T_pad), dense
     if K > K0:
         # empty boxes (lo > hi) fail every slab test
         empty = jnp.tile(
             jnp.array([[BIG, BIG, BIG, -BIG, -BIG, -BIG, 0.0, 0.0]],
                       jnp.float32), (K - K0, 1))
         cl_tab = jnp.concatenate([cl_tab, empty], axis=0)
+    # per-part AABB = union of the part's cluster boxes (empty clusters'
+    # inverted boxes vanish under min/max union)
+    part_lo = cl_tab[:, 0:3].reshape(n_parts, cpp, 3).min(axis=1)
+    part_hi = cl_tab[:, 3:6].reshape(n_parts, cpp, 3).max(axis=1)
+    pbox_tab = jnp.concatenate(
+        [part_lo, part_hi, jnp.zeros((n_parts, 2), jnp.float32)], axis=1)
     sph_tab = jnp.concatenate([
         jnp.asarray(scene.sph_center, jnp.float32),
         jnp.where(scene.sph_bsdf >= 0, scene.sph_radius,
                   0.0).astype(jnp.float32)[:, None],
     ], axis=1)                                        # (S, 4)
+    # global scene bbox (triangles ∪ live spheres) for the phase-1
+    # chord-reach bound
+    live_s = scene.sph_radius > 0
+    sc_pad = jnp.where(live_s[:, None], scene.sph_center,
+                       jnp.full((1, 3), BIG, jnp.float32))
+    sr_pad = jnp.where(live_s, scene.sph_radius, 0.0)
+    glo = jnp.minimum(part_lo.min(axis=0),
+                      jnp.min(sc_pad - sr_pad[:, None], axis=0))
+    ghi = jnp.maximum(part_hi.max(axis=0),
+                      jnp.max(jnp.where(live_s[:, None],
+                                        scene.sph_center, -BIG)
+                              + sr_pad[:, None], axis=0))
     if bh is not None:
         bhp = jnp.concatenate([
             jnp.asarray(bh.position, jnp.float32).reshape(3),
             jnp.asarray(bh.radius, jnp.float32).reshape(1),
             jnp.asarray(bh.delta_theta, jnp.float32).reshape(1),
-            jnp.zeros(3, jnp.float32)]).reshape(1, 8)
+            jnp.asarray(glo, jnp.float32).reshape(3),
+            jnp.asarray(ghi, jnp.float32).reshape(3),
+            jnp.zeros(5, jnp.float32)]).reshape(1, 16)
     else:
-        bhp = jnp.zeros((1, 8), jnp.float32)
+        bhp = jnp.zeros((1, 16), jnp.float32)
 
     ray_spec = pl.BlockSpec((1, 8, 128), lambda i, p: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(
         shape, lambda i, p: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
     part_rows = T_pad // n_parts
-    tri_spec = pl.BlockSpec((part_rows, 12), lambda i, p: (p, 0),
+    tri_spec = pl.BlockSpec((12, part_rows), lambda i, p: (0, p),
                             memory_space=pltpu.SMEM)
     cl_spec = pl.BlockSpec((cpp, 8), lambda i, p: (p, 0),
                            memory_space=pltpu.SMEM)
+    pbox_spec = smem((n_parts, 8))
 
     out_shapes = (
         [jax.ShapeDtypeStruct((g, 8, 128), jnp.float32) for _ in range(3)]
@@ -464,18 +573,21 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
         _kernel, curved=curved, n_seg=n_seg, n_tri_rows=T_pad,
         cluster_size=scene.cluster_size, n_parts=n_parts)
 
+    n_chord = n_seg if curved else 1
     outs = pl.pallas_call(
         kernel,
         grid=(g, n_parts),
         in_specs=(
-            [smem((1, 8))]
+            [smem((1, 16))]
             + [ray_spec] * 8
-            + [tri_spec, cl_spec, smem((S, 4))]
+            + [tri_spec, cl_spec, smem((S, 4)), pbox_spec]
         ),
         out_specs=tuple(ray_spec for _ in range(11)),
         out_shape=tuple(out_shapes),
+        scratch_shapes=[pltpu.VMEM((n_chord, 7, 8, 128), jnp.float32),
+                        pltpu.VMEM((1, 8, 128), jnp.int32)],
         interpret=interpret,
-    )(bhp, *ray_ins, tri_tab, cl_tab, sph_tab)
+    )(bhp, *ray_ins, tri_tab, cl_tab, sph_tab, pbox_tab)
 
     (hit, absd, t, prim, seg, sox, soy, soz, sdx, sdy, sdz) = outs
     cut = lambda a: a.reshape(-1)[:n]
@@ -484,9 +596,10 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
     prim = cut(prim)
     # sphere ids were minted in padded-tri space; remap to scene space
     prim = jnp.where(prim >= T_pad, prim - (T_pad - T), prim)
+    t = jnp.where(hit, cut(t), 0.0)
     seg_o = jnp.stack([cut(sox), cut(soy), cut(soz)], axis=-1)
     seg_d = jnp.stack([cut(sdx), cut(sdy), cut(sdz)], axis=-1)
-    return (hit, absd, cut(t), prim, cut(seg), seg_o, seg_d)
+    return (hit, absd, t, prim, cut(seg), seg_o, seg_d)
 
 
 def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
@@ -525,8 +638,12 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
         scene.tri_v2[tid][..., None, :],
         jnp.ones(shape + (1,), bool),
     )
-    b1 = jnp.where(is_tri, b1[..., 0], 0.0)
-    b2 = jnp.where(is_tri, b2[..., 0], 0.0)
+    # clamp to the simplex: an f32 disagreement between the in-kernel test
+    # and this re-derivation (near-edge hits) must not produce out-of-range
+    # normal blends
+    b1 = jnp.clip(jnp.where(is_tri, b1[..., 0], 0.0), 0.0, 1.0)
+    b2 = jnp.clip(jnp.where(is_tri, b2[..., 0], 0.0), 0.0, 1.0)
+    b2 = jnp.minimum(b2, 1.0 - b1)
     h = build_hit(scene, seg_o, seg_d, hit, t, prim, b1, b2)
     if flat_shape != t.shape:
         h = jax.tree_util.tree_map(
