@@ -23,6 +23,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rrt_tpu.types import Hit, Rays, SceneData
 
@@ -74,8 +75,12 @@ def sphere_intersect(o, d, min_t, max_t, center, radius):
     c = jnp.sum(tmp * tmp, axis=-1) - radius * radius
     disc = b * b - 4.0 * c
     has = disc >= 0
-    # safe sqrt: masked lanes (disc<0) otherwise produce NaN cotangents
-    sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+    # safe sqrt: masked lanes (disc<0) otherwise produce NaN cotangents,
+    # and d√disc → ∞ at disc → 0⁺ (grazing) poisons reverse-mode even
+    # under zero cotangents — treat near-tangent as the exact-tangent
+    # limit √disc = 0
+    pos = disc > 1e-24
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
     t1 = (-b - sq) / 2.0
     t2 = (-b + sq) / 2.0
     ok1 = (min_t[..., None] <= t1) & (t1 <= max_t[..., None])
@@ -154,6 +159,125 @@ def closest_hit_brute(
 
     hit = jnp.isfinite(bt)
     return hit, jnp.where(hit, bt, max_t), bp, bb1, bb2
+
+
+def closest_hit_cluster(
+    scene: SceneData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    min_t: jnp.ndarray,
+    max_t: jnp.ndarray,
+    tile: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Closest hit with per-tile cluster culling — the XLA analog of the
+    reference's hierarchical BVH traversal (`bvh.cpp:115-138`) and of the
+    Pallas kernel's dense two-level scheme.
+
+    Rays are processed in tiles of `tile` lanes (`lax.map`, sequential);
+    per tile a `lax.scan` over Morton cluster AABBs slab-tests the whole
+    tile and `lax.cond`-skips clusters no ray touches, so the triangle
+    work scales with touched clusters instead of scene size. Same outputs
+    as `closest_hit_brute`.
+    """
+    cs = scene.cluster_size
+    K = scene.cluster_lo.shape[0]
+    tri_valid = scene.tri_bsdf >= 0
+
+    shape = o.shape[:-1]
+    n = int(np.prod(shape)) if shape else 1
+    n_pad = -(-max(n, 1) // tile) * tile
+    flat = lambda a, w: jnp.reshape(a, (-1,) + ((w,) if w else ()))
+    pad = lambda a: jnp.pad(a, ((0, n_pad - n),) + ((0, 0),) * (a.ndim - 1))
+    o_f = pad(flat(o, 3)).reshape(-1, tile, 3)
+    d_f = pad(flat(d, 3)).reshape(-1, tile, 3)
+    mn_f = pad(flat(min_t, 0)).reshape(-1, tile)
+    # padded lanes get max_t = -inf: they can never hit anything
+    mx_f = jnp.pad(flat(max_t, 0), ((0, n_pad - n),),
+                   constant_values=-jnp.inf).reshape(-1, tile)
+
+    def per_tile(args):
+        ot, dt_, mnt, mxt = args
+        safe_d = jnp.where(jnp.abs(dt_) < 1e-20, 1e-20, dt_)
+        inv = 1.0 / safe_d
+
+        def body(carry, k):
+            bt, bp, bb1, bb2 = carry
+            lo = scene.cluster_lo[k]
+            hi = scene.cluster_hi[k]
+            t0 = (lo - ot) * inv
+            t1 = (hi - ot) * inv
+            tmn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+            tmx = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            # cap by the best hit so far: narrower than max_t once a
+            # closer hit exists (the r.max_t narrowing of the reference)
+            cap = jnp.minimum(mxt, bt)
+            reach = (tmn <= tmx) & (tmx >= mnt) & (tmn <= cap) & (
+                cap >= mnt)
+
+            def do(c):
+                bt, bp, bb1, bb2 = c
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, k * cs, cs)
+                ok, t, b1, b2 = tri_intersect(
+                    ot, dt_, mnt, mxt,
+                    sl(scene.tri_v0), sl(scene.tri_v1), sl(scene.tri_v2),
+                    sl(tri_valid))
+                t = jnp.where(ok, t, jnp.inf)
+                j = jnp.argmin(t, axis=-1)
+                take = lambda a: jnp.take_along_axis(
+                    a, j[..., None], axis=-1)[..., 0]
+                tj = take(t)
+                better = tj < bt
+                return (
+                    jnp.where(better, tj, bt),
+                    jnp.where(better, (k * cs + j).astype(jnp.int32), bp),
+                    jnp.where(better, take(b1), bb1),
+                    jnp.where(better, take(b2), bb2),
+                )
+
+            carry = jax.lax.cond(jnp.any(reach), do, lambda c: c, carry)
+            return carry, None
+
+        init = (
+            jnp.full((tile,), jnp.inf, o.dtype),
+            jnp.full((tile,), -1, jnp.int32),
+            jnp.zeros((tile,), o.dtype),
+            jnp.zeros((tile,), o.dtype),
+        )
+        (bt, bp, bb1, bb2), _ = jax.lax.scan(body, init, jnp.arange(K))
+
+        # spheres (S is tiny; single dense pass)
+        ok, t = sphere_intersect(
+            ot, dt_, mnt, mxt, scene.sph_center, scene.sph_radius)
+        ok = ok & (scene.sph_bsdf >= 0)
+        t = jnp.where(ok, t, jnp.inf)
+        j = jnp.argmin(t, axis=-1)
+        tj = jnp.take_along_axis(t, j[..., None], axis=-1)[..., 0]
+        better = tj < bt
+        bt = jnp.where(better, tj, bt)
+        bp = jnp.where(better, (scene.n_tris + j).astype(jnp.int32), bp)
+        bb1 = jnp.where(better, 0.0, bb1)
+        bb2 = jnp.where(better, 0.0, bb2)
+        return bt, bp, bb1, bb2
+
+    bt, bp, bb1, bb2 = jax.lax.map(per_tile, (o_f, d_f, mn_f, mx_f))
+    unflat = lambda a: a.reshape(-1)[:n].reshape(shape)
+    bt, bp, bb1, bb2 = unflat(bt), unflat(bp), unflat(bb1), unflat(bb2)
+    hit = jnp.isfinite(bt)
+    return hit, jnp.where(hit, bt, max_t), bp, bb1, bb2
+
+
+def closest_hit(scene, o, d, min_t, max_t, chunk: int = 512,
+                accel: str = "auto"):
+    """Dispatch between the culled and brute closest-hit queries.
+
+    accel: "cluster" = tile-culled scan (default when cluster tables
+    exist), "brute" = dense chunked scan (also the reverse-AD-friendly
+    choice for tiny batches), "auto" picks cluster when available."""
+    if accel == "auto":
+        accel = "cluster" if scene.cluster_lo is not None else "brute"
+    if accel == "cluster":
+        return closest_hit_cluster(scene, o, d, min_t, max_t)
+    return closest_hit_brute(scene, o, d, min_t, max_t, chunk)
 
 
 def build_hit(scene: SceneData, o, d, hit, t, prim_id, b1, b2) -> Hit:

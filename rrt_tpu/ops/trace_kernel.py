@@ -604,7 +604,8 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
 
 def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
                  rays: Rays, n_seg: int,
-                 interpret: bool = False) -> Hit:
+                 interpret: bool = False,
+                 return_seg: bool = False) -> Hit:
     """Full closest-hit query via the fused kernel, shading payload rebuilt
     outside (barycentrics re-derived for the winning triangle).
 
@@ -648,4 +649,7 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
     if flat_shape != t.shape:
         h = jax.tree_util.tree_map(
             lambda a: a.reshape(flat_shape + a.shape[1:]), h)
+        seg = seg.reshape(flat_shape)
+    if return_seg:
+        return h, seg
     return h

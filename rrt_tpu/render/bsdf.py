@@ -140,11 +140,20 @@ def _reflect(wo):
 
 
 def _refract(wo, ior):
-    """Snell w/ TIR detection (bsdf.cpp:146-159). Returns (ok, wi)."""
+    """Snell w/ TIR detection (bsdf.cpp:146-159). Returns (ok, wi).
+
+    Non-glass table rows carry ior=0; 1/ior would be inf forward and
+    NaN·0 in reverse even though the glass branch is kind-masked — clamp
+    (results for those rows are masked out anyway)."""
+    ior = jnp.where(ior > 0, ior, 1.0)
     eta = jnp.where(wo[..., 2] > 0, 1.0 / ior, ior)
     wi_z2 = 1.0 - eta * eta * (1.0 - wo[..., 2] * wo[..., 2])
     ok = wi_z2 >= 0
-    z = jnp.sqrt(jnp.where(ok, wi_z2, 1.0))  # safe sqrt for AD
+    # safe sqrt for AD; d√x → ∞ at the TIR boundary (x → 0⁺) poisons
+    # reverse mode even under zero cotangents — near-critical refraction
+    # takes the exact-critical limit z = 0
+    pos = wi_z2 > 1e-12
+    z = jnp.where(pos, jnp.sqrt(jnp.where(pos, wi_z2, 1.0)), 0.0)
     z = jnp.where(wo[..., 2] > 0, -z, z)
     wi = jnp.stack([-eta * wo[..., 0], -eta * wo[..., 1], z], axis=-1)
     return ok, wi
@@ -193,11 +202,12 @@ def sample(table: BSDFTable, bsdf_id, wo, key) -> BSDFSample:
 
     # --- glass
     can_refract, wi_refr = _refract(wo, m.ior)
-    r0 = ((1.0 - m.ior) / (1.0 + m.ior)) ** 2
+    ior_g = jnp.where(m.ior > 0, m.ior, 1.0)   # see _refract note
+    r0 = ((1.0 - ior_g) / (1.0 + ior_g)) ** 2
     tt = 1.0 - jnp.abs(wi_refr[..., 2])
     schlick = r0 + (1.0 - r0) * tt * tt * tt * tt * tt
     coin = jax.random.uniform(k3, shape, wo.dtype) < schlick
-    eta_g = jnp.where(wo[..., 2] > 0, 1.0 / m.ior, m.ior)
+    eta_g = jnp.where(wo[..., 2] > 0, 1.0 / ior_g, ior_g)
     # TIR → pure mirror; else coin: reflect vs refract
     use_reflect = ~can_refract | coin
     wi_glass = jnp.where(use_reflect[..., None], _reflect(wo), wi_refr)

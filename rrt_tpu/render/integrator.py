@@ -46,9 +46,24 @@ def _n_seg(cfg: RenderConfig):
     return ss.n_segments(cfg.black_hole.delta_theta)
 
 
-def _backend(cfg: RenderConfig) -> str:
-    # the fused kernel has no VJP yet; autodiff uses the XLA path
-    return "xla" if cfg.differentiable else cfg.trace_backend
+def _trace(scene, bh, rays, cfg: RenderConfig) -> Hit:
+    """Closest hit for radiance: under autodiff, the fast discrete primal
+    (Pallas kernel on TPU) + differentiable reconstruction
+    (`trace_diff`); otherwise the fast path directly."""
+    if cfg.differentiable:
+        return tracer.trace_diff(scene, bh, rays, n_seg=_n_seg(cfg),
+                                 backend=cfg.trace_backend)
+    return tracer.trace(scene, bh, rays, n_seg=_n_seg(cfg),
+                        backend=cfg.trace_backend)
+
+
+def _trace_discrete(scene, bh, rays, cfg: RenderConfig) -> Hit:
+    """Closest hit whose continuous payload is never differentiated (only
+    hit masks / bsdf ids are consumed): always use the fast path with
+    detached inputs."""
+    sg = lambda t: jax.tree_util.tree_map(jax.lax.stop_gradient, t)
+    return tracer.trace(sg(scene), sg(bh), sg(rays), n_seg=_n_seg(cfg),
+                        backend=cfg.trace_backend)
 
 
 def _mask_rays(rays: Rays, active, bh) -> Rays:
@@ -110,9 +125,10 @@ def direct_lighting_importance(
         max_t=dist,                # honored in flat mode; discarded curved
     )
     shadow = _mask_rays(shadow, facing & hit.hit[None], bh)
+    # occluded() detaches its inputs internally: the fast early-exit path
+    # stays usable under autodiff (visibility gradients are out of scope)
     occ = tracer.occluded(scene, bh, shadow,
-                          early_exit=not cfg.differentiable,
-                          n_seg=_n_seg(cfg), backend=_backend(cfg))
+                          n_seg=_n_seg(cfg), backend=cfg.trace_backend)
 
     f_val = bsdflib.evaluate(scene.bsdfs, hit.bsdf_id[None], wo[None], wi_l)
     contrib = rad * f_val * (wi_l[..., 2:3]) / pdf[..., None]
@@ -150,9 +166,9 @@ def direct_lighting_hemisphere(
         min_t=jnp.zeros((num,) + shape, dt),
         max_t=jnp.full((num,) + shape, jnp.inf, dt),
     )
-    h2 = tracer.trace(scene, bh, rays,
-                      early_exit=not cfg.differentiable, n_seg=_n_seg(cfg),
-                      backend=_backend(cfg))
+    # only h2.hit / h2.bsdf_id are consumed; the emission gather below
+    # reads the LIVE (differentiable) bsdf table
+    h2 = _trace_discrete(scene, bh, rays, cfg)
     emit = bsdflib.emission(scene.bsdfs, h2.bsdf_id)
     f_val = bsdflib.evaluate(scene.bsdfs, hit.bsdf_id[None], wo[None], wi_l)
     contrib = emit * f_val * wi_l[..., 2:3]
@@ -175,9 +191,7 @@ def est_radiance(
 ) -> jnp.ndarray:
     """est_radiance_global_illumination (part1_code.cpp:103-123) for a flat
     batch of camera rays. Returns (..., 3) radiance."""
-    hit = tracer.trace(scene, bh, rays,
-                       early_exit=not cfg.differentiable, n_seg=_n_seg(cfg),
-                       backend=_backend(cfg))
+    hit = _trace(scene, bh, rays, cfg)
     miss = ~hit.hit
 
     if scene.env is not None:
@@ -243,9 +257,7 @@ def est_radiance(
             max_t=jnp.full_like(hit.t, jnp.inf),
         )
         nxt = _mask_rays(nxt, cont, bh)
-        h2 = tracer.trace(scene, bh, nxt,
-                          early_exit=not cfg.differentiable,
-                          n_seg=_n_seg(cfg), backend=_backend(cfg))
+        h2 = _trace(scene, bh, nxt, cfg)
         cont = cont & h2.hit
         w = smp.value * (jnp.abs(smp.wi[..., 2:3])
                          / jnp.maximum(smp.pdf, 1e-30)[..., None]) / RR_PROB
@@ -269,7 +281,16 @@ def est_radiance(
             return vertex(carry, kk, first=False, do_bounce=True,
                           rr=True), None
 
-        carry, _ = jax.lax.scan(scan_body, carry, keys)
+        # RRT_UNROLL_DEBUG=1 unrolls the scan so jax_debug_nans can
+        # attribute NaNs to a concrete op inside a vertex (lax.scan hides
+        # the failing primitive behind one opaque 'scan' frame)
+        import os
+        if os.environ.get("RRT_UNROLL_DEBUG"):
+            for _i in range(md - 2):
+                carry = vertex(carry, keys[_i], first=False,
+                               do_bounce=True, rr=True)
+        else:
+            carry, _ = jax.lax.scan(scan_body, carry, keys)
 
     # final vertex d == 1: NEE only
     if md >= 2:

@@ -79,11 +79,16 @@ def sample_light(
 
     if kind == LIGHT_POINT:
         d = lights.position[light_idx] - p
-        dist = jnp.linalg.norm(d, axis=-1)
+        sq = jnp.sum(d * d, axis=-1)
+        # guarded norm: a shading point exactly at the light otherwise
+        # produces inf local jacobians that poison reverse-mode AD even
+        # under zero cotangents
+        pos_ok = sq > 0
+        dist = jnp.sqrt(jnp.where(pos_ok, sq, 1.0))
         return LightSample(
             radiance=jnp.broadcast_to(lights.radiance[light_idx], p.shape),
             wi=d / dist[..., None],
-            dist=dist,
+            dist=jnp.where(pos_ok, dist, 0.0),
             pdf=jnp.ones(shape, dt),
         )
 
@@ -105,14 +110,22 @@ def sample_light(
                + xi[..., 1:2] * lights.dim_y[light_idx])
         d = pos - p
         sq = jnp.sum(d * d, axis=-1)
-        dist = jnp.sqrt(sq)
+        # guarded divisions (see LIGHT_POINT note): dist → 0 and cosθ' → 0
+        # both yield inf forward values whose reverse-mode jacobians are
+        # NaN · 0; the reference's C++ just produces inf pdf → zero
+        # contribution, reproduced here with a large finite pdf
+        pos_ok = sq > 0
+        dist = jnp.sqrt(jnp.where(pos_ok, sq, 1.0))
         wi = d / dist[..., None]
         cos_t = jnp.sum(wi * lights.direction[light_idx], axis=-1)
-        pdf = sq / (lights.area[light_idx] * jnp.abs(cos_t))
+        den = lights.area[light_idx] * jnp.abs(cos_t)
+        den_ok = pos_ok & (den > 0)
+        pdf = jnp.where(den_ok, sq / jnp.where(den_ok, den, 1.0), 1e30)
         rad = jnp.where(
-            (cos_t < 0)[..., None],
+            (den_ok & (cos_t < 0))[..., None],
             jnp.broadcast_to(lights.radiance[light_idx], p.shape), 0.0)
-        return LightSample(radiance=rad, wi=wi, dist=dist, pdf=pdf)
+        return LightSample(radiance=rad, wi=wi,
+                           dist=jnp.where(pos_ok, dist, 0.0), pdf=pdf)
 
     if kind == LIGHT_ENV:
         assert env is not None, "LIGHT_ENV row without an EnvMap"

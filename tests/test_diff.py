@@ -108,3 +108,40 @@ def test_train_step_reduces_loss():
         p, _, loss = diff.train_step(
             p, None, scene, bh, rays, target, cfg, key, lr=0.5)
     assert float(loss) < loss0
+
+
+def test_trace_diff_matches_primal():
+    """trace_diff's reconstructed payload must equal the plain trace
+    output bitwise-closely (same discrete winners, re-derived t/p/n)."""
+    from rrt_tpu.geometry import trace as T
+    scene, bh, cfg, rays, params = _setup(curved=True, n=400)
+    hd = T.trace_diff(scene, bh, rays, n_seg=63, backend="xla")
+    hx = T.trace(scene, bh, rays, n_seg=63, backend="xla")
+    assert (np.asarray(hd.hit) == np.asarray(hx.hit)).all()
+    m = np.asarray(hd.hit)
+    assert (np.asarray(hd.prim_id)[m] == np.asarray(hx.prim_id)[m]).all()
+    np.testing.assert_allclose(np.asarray(hd.p)[m], np.asarray(hx.p)[m],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hd.n)[m], np.asarray(hx.n)[m],
+                               atol=1e-4)
+
+
+def test_image_scale_grads_finite():
+    """Full-image depth-5 GI gradient: every parameter leaf finite (r1
+    VERDICT: NaNs appeared beyond toy batches — grazing sphere hits, the
+    TIR boundary, zero-area light denominators)."""
+    cfg = RenderConfig(
+        width=48, height=48, ns_aa=1, ns_area_light=1, max_ray_depth=5,
+        seed=0, differentiable=True, black_hole=BlackHoleConfig(enabled=True))
+    scene, cam = load_scene(f"{DAE}/sky/CBspheres_lambertian.dae", 48, 48)
+    bh = make_black_hole(cfg)
+    n = 48 * 48
+    xs = (jnp.arange(n) % 48 + 0.5) / 48
+    ys = (jnp.arange(n) // 48 + 0.5) / 48
+    rays = cam.generate_rays(jnp.stack([xs, ys], axis=-1))
+    params = diff.params_from_scene(scene, bh)
+    target = jnp.zeros((n, 3))
+    g = jax.grad(lambda p: diff.image_loss(
+        p, scene, bh, rays, target, cfg, jax.random.key(0)))(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert bool(jnp.isfinite(leaf).all()), "non-finite parameter grad"

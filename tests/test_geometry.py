@@ -204,3 +204,35 @@ def test_occluded_flat_respects_max_t():
                          max_t=jnp.full(1, mt, jnp.float32))
     assert bool(T.occluded(scene, None, mk(10.0))[0])
     assert not bool(T.occluded(scene, None, mk(0.5))[0])
+
+
+def test_cluster_closest_hit_matches_brute():
+    """The tile-culled query (the XLA analog of the reference's BVH
+    traversal, bvh.cpp:115-138) must agree with the brute scan exactly —
+    coherent camera rays, incoherent random rays, and clipped max_t."""
+    from rrt_tpu.geometry.intersect import (closest_hit_brute,
+                                            closest_hit_cluster)
+    scene, cam = load_scene(f"{DAE}/meshedit/teapot.dae")
+    n = 900                                   # not a tile multiple
+    w = 30
+    xs = (jnp.arange(n) % w + 0.5) / w
+    ys = (jnp.arange(n) // w + 0.5) / w
+    cam_rays = cam.generate_rays(jnp.stack([xs, ys], axis=-1))
+    rng = np.random.default_rng(3)
+    ro = jnp.asarray(rng.uniform(-2, 2, (n, 3)), jnp.float32)
+    rd = rng.normal(size=(n, 3))
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=1, keepdims=True),
+                     jnp.float32)
+    cases = [
+        (cam_rays.o, cam_rays.d, cam_rays.min_t, cam_rays.max_t),
+        (ro, rd, jnp.zeros(n), jnp.full(n, 1e9)),
+        (ro, rd, jnp.zeros(n), jnp.full(n, 2.0)),   # clipped
+    ]
+    for o, d, mn, mx in cases:
+        hb = closest_hit_brute(scene, o, d, mn, mx)
+        hc = closest_hit_cluster(scene, o, d, mn, mx)
+        assert (np.asarray(hb[0]) == np.asarray(hc[0])).all()
+        m = np.asarray(hb[0])
+        assert (np.asarray(hb[2])[m] == np.asarray(hc[2])[m]).all()
+        np.testing.assert_allclose(np.asarray(hb[1])[m],
+                                   np.asarray(hc[1])[m], rtol=1e-6)
