@@ -99,9 +99,11 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
         d2 = xax * xax + xay * xay + xaz * xaz
         at_c = d2 <= 0.0
         dist = jnp.sqrt(jnp.where(at_c, 1.0, d2))
-        inv_d = 1.0 / dist
-        xhx, xhy, xhz = xax * inv_d, xay * inv_d, xaz * inv_d
-        u = inv_d
+        # divisions (not reciprocal-multiplies) to round bit-identically
+        # to the XLA path (physics/schwarzschild.micro_step) — wrapped
+        # chords amplify any f32 rounding difference chaotically
+        xhx, xhy, xhz = xax / dist, xay / dist, xaz / dist
+        u = 1.0 / dist
         ddx = ux * xhx + uy * xhy + uz * xhz
         yax = ux - ddx * xhx
         yay = uy - ddx * xhy
@@ -119,8 +121,13 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
         f2 = f(u + up * bh_dt / 2.0)
         f3 = f(u + up * bh_dt / 2.0 + f1 * bh_dt * bh_dt / 4.0)
         u_new = u + up * bh_dt + (f1 + f2 + f3) * bh_dt * bh_dt / 6.0
-        bad_u = u_new <= 0.0
-        d_new = 1.0 / jnp.where(bad_u, 1.0, u_new)
+        # u_new <= 0: the reference's d = 1/u goes negative and the path
+        # teleports through the hole (blackhole.cpp:33-36) — reproduce
+        # (see physics/schwarzschild.py); clamp |d| for f32 chord² safety
+        tiny = 1e-30
+        u_safe = jnp.where(jnp.abs(u_new) > tiny, u_new,
+                           jnp.where(u_new >= 0.0, tiny, -tiny))
+        d_new = jnp.clip(1.0 / u_safe, -1e9, 1e9)
         ct = jnp.cos(bh_dt)
         st = jnp.sin(bh_dt)
         nx = bh_px + d_new * ct * xhx + d_new * st * yhx
@@ -130,10 +137,9 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
         c2 = cx * cx + cy * cy + cz * cz
         zl = c2 <= 0.0
         clen = jnp.sqrt(jnp.where(zl, 1.0, c2))
-        ilen = 1.0 / clen
-        ndx, ndy, ndz = cx * ilen, cy * ilen, cz * ilen
+        ndx, ndy, ndz = cx / clen, cy / clen, cz / clen
         clen = jnp.where(zl, 0.0, clen)
-        dead = dead | bad_u | zl
+        dead = dead | zl
         return ndx, ndy, ndz, clen, dead
 
     def absorb(px, py, pz, ux, uy, uz, clen):

@@ -70,8 +70,16 @@ def micro_step(pos, direction, bh: BlackHoleParams):
     f2 = ode_rhs(u + up * dt / 2.0, r)
     f3 = ode_rhs(u + up * dt / 2.0 + f1 * dt * dt / 4.0, r)
     u_new = u + up * dt + (f1 + f2 + f3) * dt * dt / 6.0
-    bad_u = u_new <= 0
-    d_new = 1.0 / jnp.where(bad_u, 1.0, u_new)
+    # u_new <= 0 is NOT an error in the reference: d = 1/u goes negative
+    # and the path "teleports" through the hole to the mirrored polar
+    # position (blackhole.cpp:33-36, well-defined arithmetic — only dy→0
+    # is true UB). Those wrapped chords re-cross the scene and are load-
+    # bearing for occlusion statistics (e.g. env-light NEE inside a box),
+    # so reproduce them; clamp |d| to keep f32 chord² finite.
+    tiny = 1e-30
+    u_safe = jnp.where(jnp.abs(u_new) > tiny, u_new,
+                       jnp.where(u_new >= 0, tiny, -tiny))
+    d_new = jnp.clip(1.0 / u_safe, -1e9, 1e9)
     next_pt = (
         bh.position
         + (d_new * jnp.cos(dt))[..., None] * x_hat
@@ -79,12 +87,11 @@ def micro_step(pos, direction, bh: BlackHoleParams):
     )
     chord = next_pt - pos
     c2 = jnp.sum(chord * chord, axis=-1)
-    # guard zero-length chords (u_new <= 0 ⇒ behind-horizon garbage):
     zero_len = c2 <= 0
     chord_len = jnp.sqrt(jnp.where(zero_len, 1.0, c2))
     new_dir = chord / chord_len[..., None]
     chord_len = jnp.where(zero_len, 0.0, chord_len)
-    dead = dead | ~jnp.isfinite(chord_len) | bad_u | zero_len
+    dead = dead | ~jnp.isfinite(chord_len) | zero_len
     return new_dir, chord_len, dead
 
 

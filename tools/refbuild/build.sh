@@ -10,6 +10,14 @@ STAGE=$(mktemp -d)
 mkdir -p $STAGE/GL $STAGE/GLFW
 cp $HERE/glew_stub.h $STAGE/GL/glew.h
 cp $HERE/glfw3_stub.h $STAGE/GLFW/glfw3.h
+if [ "${THIN_LENS:-0}" = "1" ]; then
+  # thin-lens parity variant: the switch is a hardcoded #define
+  # (pathtracer.h:6), so stage a patched copy of the source tree
+  cp -r $REF/src $STAGE/src
+  ln -s $REF/CGL $STAGE/CGL
+  sed -i 's/#define THIN_LENS 0/#define THIN_LENS 1/' $STAGE/src/pathtracer.h
+  REF=$STAGE
+fi
 SRCS="$REF/src/main.cpp $REF/src/application.cpp $REF/src/camera.cpp \
   $REF/src/bbox.cpp $REF/src/bsdf.cpp $REF/src/bvh.cpp \
   $REF/src/halfEdgeMesh.cpp $REF/src/meshEdit.cpp $REF/src/pathtracer.cpp \
