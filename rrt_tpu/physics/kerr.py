@@ -13,8 +13,15 @@ with r(x,y,z) the Kerr radius  r² = ½(ρ²−a²) + √(¼(ρ²−a²)² + a²
 Null rays follow Hamilton's equations of ℋ(x,p) = ½ g^{μν} p_μ p_ν with
 RK4 in an affine parameter; ∂ℋ/∂x comes from `jax.grad` of the closed-form
 scalar — exact Christoffel transport without writing a single Christoffel
-symbol. a=0 reduces to Schwarzschild (M = r_s/2), which cross-validates
-against the reference-parity stepper in physics/schwarzschild.py.
+symbol. a=0 reduces to exact-GR Schwarzschild (M = r_s/2), cross-validated
+against an independent float64 Binet-equation (u'' = −u + 3Mu²) oracle in
+tests/test_kerr.py::test_a0_cross_validates_binet_oracle. NOTE: this does
+NOT match physics/schwarzschild.py, which deliberately reproduces the
+reference's chord stepper — that stepper re-derives u' from the secant
+chord each step, halving the effective curvature (deflection ≈ r_s/b,
+half the GR value 2·r_s/b; pinned by
+test_reference_stepper_bends_half_of_gr). Reference parity and correct
+physics are different targets; this module is the latter.
 
 The marcher exposes the same chord-segment interface as the reference's
 micro-ray loop: each RK4 step yields a straight chord; callers intersect
@@ -76,12 +83,19 @@ def init_momentum(x3, d3, mass, a):
     """Covariant momentum for a null ray through x3 with spatial direction
     d3 (unit, hole frame), normalized to p_t = −1.
 
-    Solves ℋ(x, p_t=−1, p3=κ·g_spatial-adjusted) = 0 for the scale of the
-    spatial momentum along the coordinate direction: we set dx/dλ ∝ d3 at
-    t=0 is nontrivial in KS form, so instead we choose p3 = κ (d3 + μ l)
-    family — in practice setting p3 = κ d3 and solving the quadratic
-    ℋ = 0 for κ reproduces the correct ray in the weak field and bends
-    correctly near the hole (the quadratic picks the future-directed root).
+    Ansatz p3 = κ·d3 (spatial covariant momentum along the coordinate
+    direction; exact as H→0, i.e. far from the hole where camera rays are
+    born). The null condition fixes κ:
+
+        ℋ = ½ g^{μν} p_μ p_ν,   g^{μν} = η^{μν} − 2H l^μ l^ν,
+        η-part:   −p_t² + κ²|d3|² = −1 + κ²          (p_t = −1, |d3| = 1)
+        l^μ p_μ = −p_t + κ·(l⃗·d3) = 1 + κ·ld
+        ⇒ 2ℋ(κ) = κ²(1 − 2H·ld²) − 4H·ld·κ − (1 + 2H) = 0
+
+    so A = 1 − 2H·ld², B = −4H·ld, C = −(1+2H) below. C < 0 always, so
+    the two real roots straddle zero; (−B+√disc)/(2A) is the positive
+    (future-directed, forward-along-d3) root for A > 0, which holds
+    outside the ergosphere where rays are initialized.
     """
     pt = -1.0
     x, y, z = x3[..., 0], x3[..., 1], x3[..., 2]

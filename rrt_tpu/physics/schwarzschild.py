@@ -20,6 +20,14 @@ Degenerate radial rays (transverse component dy → 0) are unguarded UB in
 the reference (`blackhole.cpp:27` divides by dy); we flag them `dead` —
 the same observable outcome (the ray produces no hits) without NaNs
 poisoning the batch.
+
+Physics caveat (reproduced deliberately): the reference never carries u'
+between steps — it re-derives u' from the secant chord at the new polar
+point, which halves the effective curvature. The stepper's converged
+deflection is ≈ r_s/b, HALF the GR value 2·r_s/b (pinned by
+tests/test_kerr.py::test_reference_stepper_bends_half_of_gr). Render
+parity with the reference binary depends on keeping this; for exact-GR
+geodesics use physics/kerr.py with a=0.
 """
 from __future__ import annotations
 

@@ -89,3 +89,108 @@ def test_disk_render_structure():
     left = img[:, :32].sum()
     right = img[:, 32:].sum()
     assert abs(left - right) / max(left, right) > 0.2
+
+
+def _binet_deflection_f64(M, b, r_start=40.0, r_end=100.0, h=1e-4):
+    """Independent float64 oracle: integrate the TRUE GR Binet equation
+    u''(phi) = -u + 3 M u^2 (first integral v^2 = 1/b^2 - u^2 + 2M u^3)
+    from r_start (incoming) to r_end (outgoing) and return the angle between
+    the initial and final velocity vectors -- the same observable _deflect
+    measures. Pure numpy RK4, no shared code with rrt_tpu."""
+    u = 1.0 / r_start
+    v = np.sqrt(max(1.0 / (b * b) - u * u + 2 * M * u ** 3, 0.0))  # incoming
+    phi = 0.0
+
+    def rhs(u, v):
+        return v, -u + 3.0 * M * u * u
+
+    def vel(u, v, phi):
+        # d/dphi of (cos(phi)/u, sin(phi)/u), normalized
+        rp = -v / (u * u)
+        r = 1.0 / u
+        vx = rp * np.cos(phi) - r * np.sin(phi)
+        vy = rp * np.sin(phi) + r * np.cos(phi)
+        n = np.hypot(vx, vy)
+        return vx / n, vy / n
+
+    v0 = vel(u, v, phi)
+    u_end = 1.0 / r_end
+    for _ in range(10_000_000):
+        k1u, k1v = rhs(u, v)
+        k2u, k2v = rhs(u + 0.5 * h * k1u, v + 0.5 * h * k1v)
+        k3u, k3v = rhs(u + 0.5 * h * k2u, v + 0.5 * h * k2v)
+        k4u, k4v = rhs(u + h * k3u, v + h * k3v)
+        u += h / 6.0 * (k1u + 2 * k2u + 2 * k3u + k4u)
+        v += h / 6.0 * (k1v + 2 * k2v + 2 * k3v + k4v)
+        phi += h
+        if v < 0.0 and u < u_end:
+            break
+    v1 = vel(u, v, phi)
+    return float(np.arccos(np.clip(v0[0] * v1[0] + v0[1] * v1[1], -1, 1)))
+
+
+def test_a0_cross_validates_binet_oracle():
+    """Kerr-Schild Hamiltonian RK4 at a=0 vs an independent float64 Binet
+    u''=-u+3Mu^2 integrator: two unrelated formulations of the same physics
+    must agree on the bend angle over the same radial span (start r=40,
+    escape r=100 -- mirroring _deflect's geometry)."""
+    M = 0.5
+    for b in (8.0, 15.0):
+        ang_kerr, cap = _deflect(M, 0.0, b, n=8000, dlam=0.02)
+        assert not cap
+        ang_oracle = _binet_deflection_f64(M, b)
+        assert ang_kerr == pytest.approx(ang_oracle, rel=0.03), \
+            (b, float(ang_kerr), ang_oracle)
+
+
+def test_reference_stepper_bends_half_of_gr():
+    """Parity guard for a documented reference quirk: blackhole.cpp's
+    chord marcher re-derives u' from the secant chord each step, which
+    halves the effective curvature -- its deflection converges to
+    ~ r_s/b, HALF the GR value 2 r_s/b. rrt_tpu reproduces the reference
+    (render parity depends on it); the Kerr integrator is exact GR.
+    This test pins the factor so an accidental "fix" is caught."""
+    from rrt_tpu.physics import schwarzschild as sch
+    from rrt_tpu.types import BlackHoleParams
+    r_s, b = 1.0, 20.0
+    bh = BlackHoleParams(position=jnp.zeros(3), radius=jnp.asarray(r_s),
+                         delta_theta=jnp.asarray(0.01))
+    pos = jnp.array([[-40.0, b, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+
+    def step(carry, _):
+        pos, d = carry
+        nd, clen, _dead = sch.micro_step(pos, d, bh)
+        return (pos + nd * clen[..., None], nd), None
+
+    (pos, d), _ = jax.lax.scan(step, (pos, d), None, length=1200)
+    dn = np.array(d[0], copy=True)
+    dn /= np.linalg.norm(dn)
+    ang = float(np.arccos(np.clip(dn[0], -1, 1)))
+    assert ang == pytest.approx(0.5 * 2 * r_s / b, rel=0.08), ang
+
+
+def test_shadow_diameter_analytic():
+    """Schwarzschild shadow: critical impact parameter b_crit = 3*sqrt(3)*M.
+    Rays inside (b = 0.95 b_crit) are captured, outside (1.05 b_crit) escape,
+    so the rendered shadow diameter is 2*b_crit = 6*sqrt(3)*M."""
+    M = 0.7
+    b_crit = 3.0 * np.sqrt(3.0) * M
+    _, cap_in = _deflect(M, 0.0, 0.95 * b_crit, n=12000, dlam=0.01)
+    _, cap_out = _deflect(M, 0.0, 1.05 * b_crit, n=12000, dlam=0.01)
+    assert cap_in and not cap_out
+
+
+def test_shadow_shrinks_prograde_grows_retrograde():
+    """Kerr equatorial photon ring: prograde critical b < 3*sqrt(3)*M <
+    retrograde critical b (frame dragging). Checked at a = 0.9 M."""
+    M, a = 1.0, 0.9
+    b0 = 3.0 * np.sqrt(3.0) * M
+    # prograde: a ray with b slightly below the Schwarzschild critical value
+    # still escapes (its critical b is smaller)...
+    _, cap_pro = _deflect(M, a, 0.88 * b0, n=12000, dlam=0.01)
+    assert not cap_pro
+    # ...while the retrograde ray at b slightly above it is captured
+    # (its critical b is larger).
+    _, cap_ret = _deflect(M, -a, 1.10 * b0, n=12000, dlam=0.01)
+    assert cap_ret
