@@ -115,26 +115,50 @@ def direct_lighting_importance(
     dist = jnp.stack(dists)
     pdf = jnp.stack(pdfs)
 
-    wi_l = m3.to_local(fx[None], fy[None], fz[None], wi_w)
-    facing = wi_l[..., 2] >= 0     # reference skips w_in.z < 0
+    def sum_chunk(chunk):
+        """Summed (unnormalized) contribution of a (c, ...) slice of the
+        stacked (light, sample) axis: ONE occlusion trace per chunk."""
+        rad, wi_w, dist, pdf = chunk
+        wi_l = m3.to_local(fx[None], fy[None], fz[None], wi_w)
+        facing = wi_l[..., 2] >= 0     # reference skips w_in.z < 0
+        shadow = Rays(
+            o=hit.p[None] + cfg.ray_eps * wi_w,
+            d=wi_w,
+            min_t=jnp.zeros_like(dist),
+            max_t=dist,            # honored in flat mode; discarded curved
+        )
+        shadow = _mask_rays(shadow, facing & hit.hit[None], bh)
+        # occluded() detaches its inputs internally: the fast early-exit
+        # path stays usable under autodiff (visibility grads out of scope)
+        occ = tracer.occluded(scene, bh, shadow,
+                              n_seg=_n_seg(cfg), backend=cfg.trace_backend)
+        f_val = bsdflib.evaluate(
+            scene.bsdfs, hit.bsdf_id[None], wo[None], wi_l)
+        contrib = rad * f_val * (wi_l[..., 2:3]) / pdf[..., None]
+        ok = (facing & ~occ & hit.hit[None])[..., None]
+        return jnp.sum(jnp.where(ok, contrib, 0.0), axis=0)
 
-    shadow = Rays(
-        o=hit.p[None] + cfg.ray_eps * wi_w,
-        d=wi_w,
-        min_t=jnp.zeros_like(dist),
-        max_t=dist,                # honored in flat mode; discarded curved
-    )
-    shadow = _mask_rays(shadow, facing & hit.hit[None], bh)
-    # occluded() detaches its inputs internally: the fast early-exit path
-    # stays usable under autodiff (visibility gradients are out of scope)
-    occ = tracer.occluded(scene, bh, shadow,
-                          n_seg=_n_seg(cfg), backend=cfg.trace_backend)
-
-    f_val = bsdflib.evaluate(scene.bsdfs, hit.bsdf_id[None], wo[None], wi_l)
-    contrib = rad * f_val * (wi_l[..., 2:3]) / pdf[..., None]
-    ok = (facing & ~occ & hit.hit[None])[..., None]
-    L = jnp.sum(jnp.where(ok, contrib, 0.0), axis=0) / total
-    return L
+    # Lane-blow-up guard: at -l 64 the stacked axis would multiply every
+    # shading lane 64-128x through one trace (VMEM blow-up). Chunk the
+    # axis at cfg.nee_chunk and lax.map sequentially over chunks; the
+    # common case (few lights, small -l) stays a single fused trace.
+    S = total
+    c = max(1, cfg.nee_chunk)
+    if S <= c:
+        L = sum_chunk((rad, wi_w, dist, pdf)) / total
+        return L
+    pad = (-S) % c
+    if pad:
+        # padded entries: rad=0 kills their contribution; pdf=1 avoids 0/0
+        zpad = lambda a, fill: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
+        rad, wi_w, dist, pdf = (zpad(rad, 0.0), zpad(wi_w, 1.0),
+                                zpad(dist, 1.0), zpad(pdf, 1.0))
+    chunked = jax.tree_util.tree_map(
+        lambda a: a.reshape((-(S // -c), c) + a.shape[1:]),
+        (rad, wi_w, dist, pdf))
+    per_chunk = jax.lax.map(sum_chunk, chunked)      # (nc, ..., 3)
+    return jnp.sum(per_chunk, axis=0) / total
 
 
 def direct_lighting_hemisphere(

@@ -82,6 +82,11 @@ class RenderConfig:
     differentiable: bool = False
     # trace backend: "auto" | "pallas" | "xla" (differentiable forces xla)
     trace_backend: str = "auto"
+    # NEE shadow-ray chunking: at -l 64 the reference's per-light sample
+    # loop (part1_code.cpp:33-57) becomes a 64-128x lane multiplier if all
+    # (light, sample) pairs stack into one occlusion trace; cap the stacked
+    # axis at this many entries per trace and lax.map over chunks instead.
+    nee_chunk: int = 16
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

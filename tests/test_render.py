@@ -243,3 +243,35 @@ def test_parity_thin_lens():
     diff = _block_diff(hdr, ref_png, 128, 128)
     assert diff.mean() < 4.5, (diff.mean(), diff.max())
     assert diff.max() < 45.0, (diff.mean(), diff.max())
+
+
+def test_nee_chunking_matches_unchunked():
+    """direct_lighting_importance at -l large must equal the single-trace
+    path: chunking the stacked (light,sample) axis (cfg.nee_chunk) changes
+    VMEM footprint, not radiance."""
+    import jax
+    import jax.numpy as jnp
+    from rrt_tpu.scene.build import load_scene
+    from rrt_tpu.render import integrator as I
+    from rrt_tpu.render.renderer import make_black_hole
+    from rrt_tpu.utils.config import RenderConfig
+
+    scene, cam = load_scene(
+        "/root/reference/pathtracer/dae/sky/CBspheres_lambertian.dae", 16, 12)
+    cfg = RenderConfig(width=16, height=12, ns_aa=1, ns_area_light=24,
+                       max_ray_depth=1, seed=3)
+    bh = make_black_hole(cfg)
+    import numpy as np
+    ys, xs = np.meshgrid((np.arange(12) + .5) / 12, (np.arange(16) + .5) / 16,
+                         indexing="ij")
+    rays = cam.generate_rays(jnp.asarray(
+        np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)))
+    hit = I._trace_discrete(scene, bh, rays, cfg)
+    key = jax.random.key(7)
+    L_chunked = I.direct_lighting_importance(
+        scene, bh, hit, cfg.replace(nee_chunk=8), key)
+    L_single = I.direct_lighting_importance(
+        scene, bh, hit, cfg.replace(nee_chunk=1024), key)
+    assert bool(jnp.all(jnp.isfinite(L_chunked)))
+    np.testing.assert_allclose(np.array(L_chunked), np.array(L_single),
+                               rtol=1e-4, atol=1e-5)
