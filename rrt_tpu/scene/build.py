@@ -183,7 +183,7 @@ def build_scene(
                 continue
             verts = meshlib.transform_vertices(node.transform, inst.vertices)
             tris = meshlib.triangulate(inst.polygons)
-            normals = meshlib.vertex_normals(verts, tris)
+            normals = meshlib.reference_vertex_normals(verts, inst.polygons)
             bid = bsdfs.add(inst.material)
             tv0.append(verts[tris[:, 0]])
             tv1.append(verts[tris[:, 1]])

@@ -39,9 +39,18 @@ def main():
     from rrt_tpu.render.integrator import est_radiance
     from rrt_tpu.utils.config import RenderConfig
 
+    from rrt_tpu.utils.config import BlackHoleConfig
+
     W, H = 16, 16
+    # flat spacetime: the reference's 800x600-configure-then-resize FoV
+    # quirk makes a 16x16 frame a ~1° telephoto of the back wall, and with
+    # the default black hole the lensed NEE paths can all miss — radiance
+    # would be legitimately zero. Straight shadow rays guarantee a lit
+    # wall, keeping the nonzero sanity assert meaningful. The sharding
+    # path under test is identical either way.
     cfg = RenderConfig(width=W, height=H, ns_aa=1, ns_area_light=1,
-                       max_ray_depth=2, seed=0)
+                       max_ray_depth=2, seed=0,
+                       black_hole=BlackHoleConfig(enabled=False))
     scene, cam = load_scene(
         "/root/reference/pathtracer/dae/sky/CBspheres_lambertian.dae", W, H)
     bh = make_black_hole(cfg)

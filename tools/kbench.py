@@ -1,8 +1,12 @@
-"""Microbenchmark for the fused trace kernel on a bunny-scale scene.
+"""Microbenchmark for the curved-trace kernels on a bunny-scale scene.
 
 Times curved closest-hit traces for (a) coherent camera rays and
 (b) incoherent (shuffled-direction) rays, on whatever backend JAX has.
-Usage: python tools/kbench.py [n_rays_log2]
+
+Usage: python tools/kbench.py [n_rays_log2] [backend] [accel]
+  backend: pallas | xla   (default xla: on the axon tunnel the first
+           Mosaic compile of a process costs 400-800s — see BASELINE.md)
+  accel:   shortlist | cluster | brute   (xla backend only)
 """
 import sys
 import time
@@ -30,12 +34,14 @@ def timeit(f, *a, reps=3):
 
 def main():
     n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 18
-    cs = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    backend = sys.argv[2] if len(sys.argv) > 2 else "xla"
+    accel = sys.argv[3] if len(sys.argv) > 3 else "shortlist"
     n = 1 << n_log2
     from rrt_tpu.io import collada
     from rrt_tpu.scene.build import build_scene
-    scene, cam = build_scene(collada.load(SCENE), 512, 512, pad_tris_to=cs)
-    print(f"tris={scene.n_tris} clusters={scene.cluster_lo.shape[0]}")
+    scene, cam = build_scene(collada.load(SCENE), 512, 512)
+    print(f"tris={scene.n_tris} clusters={scene.cluster_lo.shape[0]} "
+          f"backend={backend} accel={accel}")
     bh = BlackHoleParams(position=jnp.array([0.0, 1.0, 0.0]),
                          radius=jnp.float32(0.1),
                          delta_theta=jnp.float32(0.1))
@@ -53,11 +59,17 @@ def main():
                     max_t=rays.max_t)
 
     for name, r in [("coherent", rays), ("incoherent", rays_inc)]:
-        f = jax.jit(lambda rr: trace(scene, bh, rr, backend="pallas").hit)
+        f = jax.jit(lambda rr: trace(scene, bh, rr, backend=backend,
+                                     accel=accel).hit)
+        t0 = time.time()
+        out = f(r)
+        jax.block_until_ready(out)
+        tc = time.time() - t0
         dt, out = timeit(f, r)
         hits = int(jnp.sum(out))
         print(f"{name}: {n} rays in {dt*1e3:.1f} ms -> "
-              f"{n/dt/1e6:.2f} M curved rays/s  (hits={hits})")
+              f"{n/dt/1e6:.2f} M curved rays/s  (hits={hits}, "
+              f"first-call {tc:.1f}s)")
 
 
 if __name__ == "__main__":
