@@ -78,6 +78,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "pass --resume to continue from it")
     p.add_argument("--checkpoint-every", type=int, default=8, metavar="N",
                    help="checkpoint interval in samples/pixel")
+    p.add_argument("--dump-accel", default=None, metavar="BASE",
+                   help="write BASE_accel.json (cluster AABB table) and "
+                        "BASE_accel.png (per-pixel touched-cluster "
+                        "heatmap) — the BVH-visualizer analog "
+                        "(pathtracer.cpp:330-423)")
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint if it exists")
     return p
@@ -134,6 +139,14 @@ def main(argv=None):
         print(f"[Camera] Loaded settings from {args.cam_settings}")
     camera.lens_radius = cfg.lens_radius
     camera.focal_distance = cfg.focal_distance
+
+    if args.dump_accel:
+        from rrt_tpu.utils.accel_viz import dump_accel
+        counts = dump_accel(scene, camera, cfg.width, cfg.height,
+                            args.dump_accel)
+        print(f"[PathTracer] Accel dump: {args.dump_accel}_accel.json/"
+              f".png (touched clusters per camera ray: "
+              f"mean {counts.mean():.1f}, max {int(counts.max())})")
 
     renderer = Renderer(scene, camera, cfg)
 

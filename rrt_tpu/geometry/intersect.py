@@ -19,7 +19,7 @@ of mutable `r.max_t` narrowing.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -330,6 +330,23 @@ def closest_hit_shortlist(
 
     def per_chunk(args):
         ot, dt_, mnt, mxt = args                 # (TC, tile, 3) / (TC, tile)
+        # chunk-level early-out: a chunk whose lanes are ALL masked
+        # (mxt < mnt — dead/padded) skips phase 1 + rounds entirely. The
+        # curved-trace loop masks resolved lanes this way, and lanes
+        # resolve in spatially-clustered groups, so late segments cost
+        # only the chunks still carrying live lanes.
+        any_live = jnp.any(mxt >= mnt)
+        return jax.lax.cond(any_live, _chunk_run, _chunk_skip,
+                            (ot, dt_, mnt, mxt))
+
+    def _chunk_skip(args):
+        return (jnp.full((tile_chunk, tile), jnp.inf, o.dtype),
+                jnp.full((tile_chunk, tile), -1, jnp.int32),
+                jnp.zeros((tile_chunk, tile), o.dtype),
+                jnp.zeros((tile_chunk, tile), o.dtype))
+
+    def _chunk_run(args):
+        ot, dt_, mnt, mxt = args
         safe_d = jnp.where(jnp.abs(dt_) < 1e-20, 1e-20, dt_)
         inv = 1.0 / safe_d
 
@@ -413,6 +430,244 @@ def closest_hit_shortlist(
     bt, bp, bb1, bb2 = unflat(bt), unflat(bp), unflat(bb1), unflat(bb2)
     hit = jnp.isfinite(bt)
     return hit, jnp.where(hit, bt, max_t), bp, bb1, bb2
+
+
+def trace_chords_shortlist(
+    scene: SceneData,
+    so_all: jnp.ndarray,      # (S, n, 3) chord origins per segment
+    sd_all: jnp.ndarray,      # (S, n, 3) chord unit directions
+    slen_all: jnp.ndarray,    # (S, n)   chord lengths
+    s_rank: jnp.ndarray,      # (S, n)   per-lane ASCENDING testable seg ids
+    count_t: jnp.ndarray,     # (n,)     number of valid entries in s_rank
+    n_seg: int,
+    tile: int = 128,
+    m_clusters: int = 1,
+    drain: int = 4,
+    tile_chunk: int = 64,
+    max_ranks: Optional[int] = None,
+):
+    """First-hit over per-lane chord sequences — the curved-trace engine.
+
+    Each lane owns an ascending list of *testable* chords (its micro-ray
+    segments whose chord touches scene geometry bounds); the first chord
+    containing a hit wins (bvh.cpp:103-113 first-event order). All loops
+    live INSIDE one `lax.map` chunk so every bound is chunk-local:
+
+      * rank loop: chunk iterates to ITS OWN max testable count — chunks
+        of early-resolving lanes stop after a couple of chords while
+        straggler (orbiting/wrapped) chunks run longer, instead of every
+        lane paying the global maximum;
+      * per rank, the per-tile cluster shortlist is sorted NEAR-TO-FAR by
+        tile entry-t, and the round loop exits as soon as no lane can
+        still improve on its current best (every remaining cluster starts
+        beyond every live lane's closest hit) — the dense analog of
+        ordered BVH descent with r.max_t narrowing (bvh.cpp:115-138);
+      * spheres are tested before the rounds so their t narrows the
+        cluster drain too.
+
+    Returns flat (found, t, prim, b1, b2, seg_o, seg_d, seg_id).
+    """
+    cs = scene.cluster_size
+    K = scene.cluster_lo.shape[0]
+    n_t = scene.n_tris
+    n = count_t.shape[0]
+    dt = so_all.dtype
+    tri_valid = scene.tri_bsdf >= 0
+
+    # Shortlist GRANULE = a supergroup of `m_clusters` Morton-contiguous
+    # clusters (one gather-free triangle slab of m·cs rows). In-box chords
+    # are short (≈ distance·Δθ) and touch only 1-3 granules, so the
+    # per-lane slab phase costs lanes×G pairs with G ≈ K/m — measured 8-16×
+    # cheaper than per-cluster reach at equal triangle-round size.
+    G = -(-K // m_clusters)                    # number of granules
+    rows = m_clusters * cs                     # triangle rows per granule
+    big = jnp.asarray(3e37, dt)
+    pad_k = G * m_clusters - K
+    clo = jnp.concatenate(
+        [scene.cluster_lo, jnp.full((pad_k, 3), big, dt)], axis=0)
+    chi = jnp.concatenate(
+        [scene.cluster_hi, jnp.full((pad_k, 3), -big, dt)], axis=0)
+    g_lo = clo.reshape(G, m_clusters, 3).min(axis=1)     # (G, 3)
+    g_hi = chi.reshape(G, m_clusters, 3).max(axis=1)
+
+    T_pad = G * rows
+    v0p = jnp.concatenate(
+        [scene.tri_v0, jnp.zeros((T_pad + rows - n_t, 3), dt)])
+    v1p = jnp.concatenate(
+        [scene.tri_v1, jnp.zeros((T_pad + rows - n_t, 3), dt)])
+    v2p = jnp.concatenate(
+        [scene.tri_v2, jnp.zeros((T_pad + rows - n_t, 3), dt)])
+    validp = jnp.concatenate(
+        [tri_valid, jnp.zeros((T_pad + rows - n_t,), bool)])
+
+    lanes = tile_chunk * tile
+    n_pad = -(-max(n, 1) // lanes) * lanes
+    nc = n_pad // lanes
+
+    def pad_seg(a):
+        """(S, n, ...) → (nc, S, TC, tile, ...) chunk-major layout.
+
+        S is taken from the array: the rank table may carry fewer rows
+        than the chord tables (compacted continuation phases)."""
+        w = a.shape[2:]
+        a = jnp.pad(a, ((0, 0), (0, n_pad - n)) + ((0, 0),) * len(w))
+        a = a.reshape((a.shape[0], nc, tile_chunk, tile) + w)
+        return jnp.moveaxis(a, 1, 0)
+
+    so_c = pad_seg(so_all)
+    sd_c = pad_seg(sd_all)
+    sl_c = pad_seg(slen_all)
+    rk_c = pad_seg(s_rank)
+    cnt_c = jnp.pad(count_t, (0, n_pad - n)).reshape(
+        nc, tile_chunk, tile)
+
+    arg = jnp.arange(G, dtype=jnp.int32)
+    arr_rows = jnp.arange(rows, dtype=jnp.int32)
+    ard = jnp.arange(drain, dtype=jnp.int32)
+    n_rounds = -(-G // drain)
+    G_slots = n_rounds * drain
+    INF = jnp.asarray(jnp.inf, dt)
+
+    def per_chunk(args):
+        so_k, sd_k, sl_k, rk_k, cnt = args
+        local_max = jnp.max(cnt)
+        if max_ranks is not None:
+            local_max = jnp.minimum(local_max, max_ranks)
+
+        def one_rank(j, pos, nd, clen, act):
+            """Best hit on the active lanes' current chords ([0, clen])."""
+            mnt = jnp.zeros((tile_chunk, tile), dt)
+            mxt = jnp.where(act, clen, -1.0)
+            safe_d = jnp.where(jnp.abs(nd) < 1e-20, 1e-20, nd)
+            inv = 1.0 / safe_d
+
+            # spheres first: their t narrows the cluster drain
+            okS, tS = sphere_intersect(
+                pos, nd, mnt, mxt, scene.sph_center, scene.sph_radius)
+            okS = okS & (scene.sph_bsdf >= 0)
+            tS = jnp.where(okS, tS, jnp.inf)
+            jS = jnp.argmin(tS, axis=-1)
+            bt = jnp.take_along_axis(tS, jS[..., None], axis=-1)[..., 0]
+            bp = jnp.where(jnp.isfinite(bt),
+                           (n_t + jS).astype(jnp.int32), -1)
+            bb1 = jnp.zeros((tile_chunk, tile), dt)
+            bb2 = jnp.zeros((tile_chunk, tile), dt)
+
+            # per-lane granule reach, folded into a SINGLE min-reduction
+            # over lanes: ent[tile_row, granule] = nearest entry-t of any
+            # lane (+inf if none reaches). One paired sort yields the
+            # near-to-far shortlist AND its entry keys.
+            t0 = (g_lo[None, None] - pos[:, :, None, :]) * inv[:, :, None, :]
+            t1 = (g_hi[None, None] - pos[:, :, None, :]) * inv[:, :, None, :]
+            tmn = jnp.max(jnp.minimum(t0, t1), axis=-1)   # (TC, tile, G)
+            tmx = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            reach = ((tmn <= tmx) & (tmx >= mnt[..., None])
+                     & (tmn <= mxt[..., None]) & (mxt >= mnt)[..., None])
+            ent = jnp.min(
+                jnp.where(reach, jnp.maximum(tmn, 0.0), INF), axis=1)
+            count = jnp.sum(jnp.isfinite(ent), axis=-1)
+            ent_sorted, order = jax.lax.sort(
+                (ent, jnp.broadcast_to(arg[None], ent.shape)),
+                dimension=-1, num_keys=1)
+            ids = jnp.pad(order.astype(jnp.int32),
+                          ((0, 0), (0, G_slots - G + 1)),
+                          constant_values=G)
+            ent_sorted = jnp.pad(ent_sorted,
+                                 ((0, 0), (0, G_slots - G + 1)),
+                                 constant_values=jnp.inf)
+            count_max = jnp.max(count)
+
+            def r_cond(c):
+                r, improv = c[0], c[1]
+                return (r * drain < count_max) & improv
+
+            def r_body(c):
+                r, _, bt, bp, bb1, bb2 = c
+                g_r = jax.lax.dynamic_slice(
+                    ids, (jnp.int32(0), r * drain), (tile_chunk, drain))
+                slot_ok = (r * drain + ard)[None, :] < count[:, None]
+                g_id = jnp.where(slot_ok, g_r, G)         # (TC, drain)
+                tri_idx = (g_id[:, :, None] * rows
+                           + arr_rows[None, None, :rows]
+                           ).reshape(tile_chunk, drain * rows)
+                mx_eff = jnp.minimum(mxt, bt)
+                ok, t, b1, b2 = tri_intersect(
+                    pos, nd, mnt, mx_eff,
+                    v0p[tri_idx][:, None], v1p[tri_idx][:, None],
+                    v2p[tri_idx][:, None], validp[tri_idx][:, None])
+                t = jnp.where(ok, t, jnp.inf)
+                jj = jnp.argmin(t, axis=-1)
+                take = lambda a: jnp.take_along_axis(
+                    a, jj[..., None], axis=-1)[..., 0]
+                tj = take(t)
+                better = tj < bt
+                pj = jnp.take_along_axis(tri_idx, jj, axis=-1)
+                bt = jnp.where(better, tj, bt)
+                bp = jnp.where(better, pj, bp)
+                bb1 = jnp.where(better, take(b1), bb1)
+                bb2 = jnp.where(better, take(b2), bb2)
+                # can any lane still improve? every remaining granule
+                # starts at ent_sorted[:, (r+1)·drain] or later (sorted),
+                # so a tile is done once that entry exceeds all its
+                # lanes' best-so-far.
+                nxt = jax.lax.dynamic_slice(
+                    ent_sorted, (jnp.int32(0), (r + 1) * drain),
+                    (tile_chunk, 1))
+                improv = jnp.any(bt > nxt)
+                return (r + 1, improv, bt, bp, bb1, bb2)
+
+            improv0 = count_max > 0
+            _, _, bt, bp, bb1, bb2 = jax.lax.while_loop(
+                r_cond, r_body, (jnp.int32(0), improv0, bt, bp, bb1, bb2))
+            hit = jnp.isfinite(bt) & (bp >= 0)
+            return hit, jnp.where(hit, bt, 0.0), bp, bb1, bb2
+
+        def j_cond(c):
+            j, found = c[0], c[1]
+            return (j < local_max) & jnp.any(~found & (j < cnt))
+
+        def j_body(c):
+            (j, found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b) = c
+            sj = jax.lax.dynamic_index_in_dim(rk_k, j, 0, keepdims=False)
+            gat = lambda a: jnp.take_along_axis(
+                a, sj.reshape((1,) + sj.shape + (1,) * (a.ndim - 3)),
+                axis=0)[0]
+            pos = gat(so_k)
+            nd = gat(sd_k)
+            clen = gat(sl_k)
+            act = ~found & (j < cnt)
+
+            def run(_):
+                return one_rank(j, pos, nd, clen, act)
+
+            def skip(_):
+                z = jnp.zeros((tile_chunk, tile), dt)
+                return (jnp.zeros((tile_chunk, tile), bool), z,
+                        jnp.full((tile_chunk, tile), -1, jnp.int32), z, z)
+
+            hit, t, pid, b1, b2 = jax.lax.cond(
+                jnp.any(act), run, skip, None)
+            new = hit & act
+            upd = lambda cur, v: jnp.where(new, v, cur)
+            upd3 = lambda cur, v: jnp.where(new[..., None], v, cur)
+            return (j + 1, found | new,
+                    upd(t_b, t), upd(prim_b, pid), upd(b1_b, b1),
+                    upd(b2_b, b2), upd3(so_b, pos), upd3(sd_b, nd),
+                    upd(seg_b, sj))
+
+        z = jnp.zeros((tile_chunk, tile), dt)
+        init = (jnp.int32(0), jnp.zeros((tile_chunk, tile), bool),
+                z, jnp.full((tile_chunk, tile), -1, jnp.int32), z, z,
+                jnp.zeros((tile_chunk, tile, 3), dt),
+                jnp.zeros((tile_chunk, tile, 3), dt),
+                jnp.full((tile_chunk, tile), n_seg, jnp.int32))
+        st = jax.lax.while_loop(j_cond, j_body, init)
+        (_, found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b) = st
+        return found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b
+
+    outs = jax.lax.map(per_chunk, (so_c, sd_c, sl_c, rk_c, cnt_c))
+    unflat = lambda a: a.reshape((-1,) + a.shape[3:])[:n]
+    return tuple(unflat(a) for a in outs)
 
 
 def closest_hit(scene, o, d, min_t, max_t, chunk: int = 512,

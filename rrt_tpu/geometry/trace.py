@@ -158,6 +158,275 @@ def trace_curved(
     return hit
 
 
+@jax.custom_vjp
+def _grad_guard(x):
+    """Identity whose COTANGENT is sanitized: NaN/inf scrubbed and
+    clipped. Near-wrap geodesic chords are chaotic — their parameter
+    Jacobians legitimately overflow f32 — and one poisoned lane would NaN
+    the whole psum'd parameter gradient. Forward values untouched."""
+    return x
+
+
+def _grad_guard_fwd(x):
+    return x, None
+
+
+def _grad_guard_bwd(_, ct):
+    ct = jnp.nan_to_num(ct, nan=0.0, posinf=0.0, neginf=0.0)
+    return (jnp.clip(ct, -1e3, 1e3),)
+
+
+_grad_guard.defvjp(_grad_guard_fwd, _grad_guard_bwd)
+
+
+def _morton7(v):
+    """Spread the low 7 bits of int32 v three apart (21-bit Morton)."""
+    v = v & 0x7F
+    v = (v | (v << 8)) & 0x0700F
+    v = (v | (v << 4)) & 0x430C3
+    v = (v | (v << 2)) & 0x49249
+    return v
+
+
+def _scene_bbox(scene: SceneData):
+    """Global bbox of triangles ∪ live spheres (the phase-1 chord-reach
+    bound, mirroring the fused kernel's use of it)."""
+    if scene.cluster_lo is not None:
+        glo_t = jnp.min(scene.cluster_lo, axis=0)
+        ghi_t = jnp.max(scene.cluster_hi, axis=0)
+    else:
+        valid = (scene.tri_bsdf >= 0)[:, None]
+        big = jnp.asarray(3e37, scene.tri_v0.dtype)
+        mins = jnp.minimum(jnp.minimum(scene.tri_v0, scene.tri_v1),
+                           scene.tri_v2)
+        maxs = jnp.maximum(jnp.maximum(scene.tri_v0, scene.tri_v1),
+                           scene.tri_v2)
+        glo_t = jnp.min(jnp.where(valid, mins, big), axis=0)
+        ghi_t = jnp.max(jnp.where(valid, maxs, -big), axis=0)
+    live = (scene.sph_radius > 0) & (scene.sph_bsdf >= 0)
+    big = jnp.asarray(3e37, glo_t.dtype)
+    slo = jnp.where(live[:, None],
+                    scene.sph_center - scene.sph_radius[:, None], big)
+    shi = jnp.where(live[:, None],
+                    scene.sph_center + scene.sph_radius[:, None], -big)
+    return (jnp.minimum(glo_t, jnp.min(slo, axis=0)),
+            jnp.maximum(ghi_t, jnp.max(shi, axis=0)))
+
+
+def trace_curved_marched(
+    scene: SceneData,
+    bh: BlackHoleParams,
+    rays: Rays,
+    n_seg: int,
+    chunk: int = 512,
+    accel: str = "auto",
+    return_seg: bool = False,
+):
+    """Micro-ray marched closest hit, march-once formulation — the XLA
+    analog of the fused Pallas kernel's design (ops/trace_kernel.py).
+
+    The grouped fold in `trace_curved` tests EVERY chord of every group
+    for every lane: a batch with escaped lanes (39% of CBbunny camera
+    rays) never early-exits and pays all ⌈2π/Δθ⌉ full traversals. Here:
+
+      phase A: one cheap `lax.scan` marches all chords and records only
+        BOOLEAN facts per (segment, lane): event-horizon absorption,
+        degenerate death, and whether the chord touches the global scene
+        bbox. From these: `end_seg` (first absorb/death — geometry may
+        only land strictly earlier, bvh.cpp:107-108), and `last_touch`
+        (the last bbox-touching segment — nothing can hit after it, even
+        through wrapped-chord re-entry).
+      phase B: a `while_loop` re-marches the chords one segment at a time
+        (identical FP ops — bit-identical chords) and runs ONE masked
+        closest-hit per segment, `lax.cond`-skipped entirely when no lane
+        is active. Lanes deactivate the moment they hit, die, absorb, or
+        pass their last touching segment, so the loop runs to
+        max(last_touch) only over still-testable lanes instead of 2π for
+        everyone.
+    """
+    shape = rays.o.shape[:-1]
+    o = rays.o.reshape(-1, 3)
+    d = rays.d.reshape(-1, 3)
+    n = o.shape[0]
+    dt = o.dtype
+    glo, ghi = _scene_bbox(scene)
+
+    # Sort lanes once per trace by (direction octant, origin Morton cell):
+    # the shortlist traversal culls per 128-lane tile, so packing
+    # like-direction like-origin rays together is what makes bounce/shadow
+    # (incoherent) batches cull like camera batches. Lanes also RESOLVE in
+    # sorted-neighbor groups, so late segments leave whole chunks dead for
+    # the chunk-level early-out. The permutation is undone on return.
+    sort = n >= 2048
+    if sort:
+        ext = jnp.where(ghi > glo, ghi - glo, 1.0)
+        q = jnp.clip(((o - glo) / ext) * 127.0, 0.0, 127.0).astype(jnp.int32)
+        m = _morton7(q[:, 0]) << 2 | _morton7(q[:, 1]) << 1 | _morton7(q[:, 2])
+        octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
+                  + (d[:, 1] < 0).astype(jnp.int32) * 2
+                  + (d[:, 2] < 0).astype(jnp.int32))
+        perm = jnp.argsort(octant * (1 << 21) + m)
+        o = o[perm]
+        d = d[perm]
+
+    # Coarse culling boxes for the phase-A chord test. The global scene
+    # bbox is uselessly coarse for a Cornell box: its interior is empty
+    # (walls are thin), yet every interior-crossing chord "touches" it —
+    # measured median 37 testable segments/lane on CBbunny, which keeps
+    # the phase-B loop hot for rays that can never hit anything. Testing
+    # against per-16-cluster SUPERCLUSTER boxes (≈28 for CBbunny) instead
+    # collapses that to the handful of chords that pass near actual
+    # geometry. Live spheres contribute one union box.
+    boxes = []
+    if scene.cluster_lo is not None:
+        SB = 16
+        K = scene.cluster_lo.shape[0]
+        n_sup = -(-K // SB)
+        big = jnp.asarray(3e37, dt)
+        clo = jnp.concatenate(
+            [scene.cluster_lo,
+             jnp.full((n_sup * SB - K, 3), big, dt)], axis=0)
+        chi = jnp.concatenate(
+            [scene.cluster_hi,
+             jnp.full((n_sup * SB - K, 3), -big, dt)], axis=0)
+        sup_lo = clo.reshape(n_sup, SB, 3).min(axis=1)
+        sup_hi = chi.reshape(n_sup, SB, 3).max(axis=1)
+        for k in range(n_sup):
+            boxes.append((sup_lo[k], sup_hi[k]))
+        live = (scene.sph_radius > 0) & (scene.sph_bsdf >= 0)
+        slo = jnp.where(live[:, None],
+                        scene.sph_center - scene.sph_radius[:, None], big)
+        shi = jnp.where(live[:, None],
+                        scene.sph_center + scene.sph_radius[:, None], -big)
+        boxes.append((jnp.min(slo, axis=0), jnp.max(shi, axis=0)))
+    else:
+        boxes.append((glo, ghi))
+
+    def chord_touch(pos, nd, clen):
+        px, py, pz = pos[..., 0], pos[..., 1], pos[..., 2]
+        sd2 = jnp.where(jnp.abs(nd) < 1e-20, 1e-20, nd)
+        ivx = 1.0 / sd2[..., 0]
+        ivy = 1.0 / sd2[..., 1]
+        ivz = 1.0 / sd2[..., 2]
+        touch = jnp.zeros(px.shape, bool)
+        for lo_b, hi_b in boxes:
+            tx0 = (lo_b[0] - px) * ivx
+            tx1 = (hi_b[0] - px) * ivx
+            ty0 = (lo_b[1] - py) * ivy
+            ty1 = (hi_b[1] - py) * ivy
+            tz0 = (lo_b[2] - pz) * ivz
+            tz1 = (hi_b[2] - pz) * ivz
+            tmn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                          jnp.minimum(ty0, ty1)),
+                              jnp.minimum(tz0, tz1))
+            tmx = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.maximum(tz0, tz1))
+            touch = touch | ((tmn <= tmx) & (tmx >= 0.0) & (tmn <= clen))
+        return touch
+
+    def seg_scan(carry, _):
+        pos, dirn, dead = carry
+        nd, clen, sdead = ss.micro_step(pos, dirn, bh)
+        dead = dead | sdead
+        clen = jnp.where(dead, 0.0, clen)
+        npos = pos + nd * clen[..., None]
+        absorbed = ss.absorbed_by_hole(pos, nd, clen, bh) & ~dead
+        touch = chord_touch(pos, nd, clen) & ~dead
+        return (npos, nd, dead), (pos, nd, clen, absorbed, dead, touch)
+
+    # chords are STORED, not re-marched in phase B: a second compilation
+    # of the same FP ops can fuse differently, and wrapped (u<=0 teleport)
+    # chords amplify any f32 difference chaotically. (n_seg, n, 7) f32 ≈
+    # 0.5 GB at the renderer's max pass size — cheap next to exactness.
+    zeros_b = jnp.zeros((n,), bool)
+    _, (so_all, sd_all, slen_all, sabs, sdead, stouch) = jax.lax.scan(
+        seg_scan, (o, d, zeros_b), None, length=n_seg, unroll=4)
+
+    evt = sabs | sdead                           # (S, n); dead is monotone
+    any_evt = jnp.any(evt, axis=0)
+    first_evt = jnp.argmax(evt, axis=0).astype(jnp.int32)
+    end_seg = jnp.where(any_evt, first_evt, n_seg)
+    absorbed = any_evt & jnp.take_along_axis(
+        sabs, first_evt[None], axis=0)[0]
+    s_ix = jnp.arange(n_seg, dtype=jnp.int32)[:, None]
+    testable = stouch & (s_ix < end_seg[None])   # (S, n)
+    count_t = jnp.sum(testable, axis=0).astype(jnp.int32)   # (n,)
+
+    # Per-lane ascending list of testable segment ids. Phase B iterates j
+    # over each lane's j-th TESTABLE segment (rank-major, not
+    # segment-major): most lanes hit on their first or second testable
+    # chord, so nearly all lanes deactivate within a few full-width
+    # iterations; stragglers (wrapped/grazing lanes with long testable
+    # lists) ride out the tail masked, where the chunk-level early-out in
+    # closest_hit_shortlist skips their dead neighbors. First-event order
+    # is preserved: each lane's own segments are visited ascending.
+    s_rank = jnp.argsort(
+        jnp.where(testable, s_ix, n_seg + s_ix), axis=0).astype(jnp.int32)
+
+    if scene.cluster_lo is not None:
+        from rrt_tpu.geometry.intersect import trace_chords_shortlist
+
+        (found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b) = \
+            trace_chords_shortlist(scene, so_all, sd_all, slen_all,
+                                   s_rank, count_t, n_seg)
+        # lanes whose winning chord was never set keep the ORIGINAL ray
+        # (escaped lanes read the envmap with rays.d, part1_code.cpp:106)
+        so_b = jnp.where(found[:, None], so_b, o)
+        sd_b = jnp.where(found[:, None], sd_b, d)
+    else:
+        max_count = jnp.max(count_t)
+
+        def cond(c):
+            j, found = c[0], c[1]
+            return (j < max_count) & jnp.any(~found & (j < count_t))
+
+        def body(c):
+            (j, found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b) = c
+            sj = jax.lax.dynamic_index_in_dim(s_rank, j, 0, keepdims=False)
+            gat = lambda a: jnp.take_along_axis(
+                a, sj.reshape((1,) + sj.shape + (1,) * (a.ndim - 2)),
+                axis=0)[0]
+            pos = gat(so_all)
+            nd = gat(sd_all)
+            clen = gat(slen_all)
+            act = ~found & (j < count_t)
+            hit, t, pid, b1, b2 = closest_hit(
+                scene, pos, nd, jnp.zeros((n,), dt),
+                jnp.where(act, clen, -1.0), chunk, accel)
+            new = hit & act
+            upd = lambda cur, v: jnp.where(new, v, cur)
+            upd3 = lambda cur, v: jnp.where(new[..., None], v, cur)
+            return (j + 1, found | new,
+                    upd(t_b, t), upd(prim_b, pid), upd(b1_b, b1),
+                    upd(b2_b, b2), upd3(so_b, pos), upd3(sd_b, nd),
+                    upd(seg_b, sj))
+
+        init = (jnp.int32(0), zeros_b,
+                jnp.zeros((n,), dt), jnp.full((n,), -1, jnp.int32),
+                jnp.zeros((n,), dt), jnp.zeros((n,), dt), o, d,
+                jnp.full((n,), n_seg, jnp.int32))
+        st = jax.lax.while_loop(cond, body, init)
+        (_, found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b) = st
+
+    if sort:
+        inv_perm = jnp.argsort(perm)
+        unp = lambda a: a[inv_perm]
+        found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b = (
+            unp(found), unp(t_b), unp(prim_b), unp(b1_b), unp(b2_b),
+            unp(so_b), unp(sd_b), unp(seg_b))
+
+    hit = build_hit(scene, so_b, sd_b, found, t_b, prim_b, b1_b, b2_b)
+    seg = seg_b
+    if shape != found.shape:
+        hit = jax.tree_util.tree_map(
+            lambda a: a.reshape(shape + a.shape[1:]), hit)
+        seg = seg.reshape(shape)
+    if return_seg:
+        return hit, seg
+    return hit
+
+
 def _pallas_eligible(scene: SceneData) -> bool:
     from rrt_tpu.ops.trace_kernel import pallas_supported
     return jax.default_backend() == "tpu" and pallas_supported(scene)
@@ -178,12 +447,15 @@ def trace(scene: SceneData, bh: BlackHoleParams, rays: Rays,
         backend = "pallas" if _pallas_eligible(scene) else "xla"
     if backend == "pallas":
         from rrt_tpu.ops.trace_kernel import pallas_trace
-        from rrt_tpu.physics import schwarzschild as ss
         if n_seg is None:
             n_seg = ss.n_segments(float(bh.delta_theta)) if (
                 bh is not None and bh.enabled) else 1
         return pallas_trace(scene, bh, rays, n_seg=n_seg)
     if bh is not None and bh.enabled:
+        if n_seg is None:
+            n_seg = ss.n_segments(float(bh.delta_theta))
+        if early_exit:
+            return trace_curved_marched(scene, bh, rays, n_seg, chunk, accel)
         return trace_curved(scene, bh, rays, seg_group, chunk, early_exit,
                             n_seg, accel)
     return trace_flat(scene, rays, chunk, accel)
@@ -204,8 +476,8 @@ def trace_with_seg(scene: SceneData, bh: BlackHoleParams, rays: Rays,
         from rrt_tpu.ops.trace_kernel import pallas_trace
         return pallas_trace(scene, bh, rays, n_seg=n_seg, return_seg=True)
     if curved:
-        return trace_curved(scene, bh, rays, seg_group, chunk,
-                            early_exit=True, n_seg=n_seg, return_seg=True)
+        return trace_curved_marched(scene, bh, rays, n_seg, chunk,
+                                    return_seg=True)
     h = trace_flat(scene, rays, chunk)
     return h, jnp.zeros(h.t.shape, jnp.int32)
 
@@ -252,9 +524,24 @@ def trace_diff(scene: SceneData, bh: BlackHoleParams, rays: Rays,
         def step(c, s):
             pos, dirn, dead = c
             nd, clen, sdead = ss.micro_step(pos, dirn, bh)
+            # Teleport (u<=0 wrap) chords: freeze the AD chain. The wrap
+            # region is chaotic — Jacobians through consecutive 1e9-scale
+            # chords explode (and overflow f32 to inf/NaN in reverse
+            # mode), so d(image)/d(bh params) through a wrapped path is
+            # numerically meaningless noise. Forward values are
+            # untouched; lanes whose winning chord precedes their first
+            # wrap keep exact gradients.
+            wrapped = jax.lax.stop_gradient(clen) > 50.0
+            nd = jnp.where(wrapped[..., None],
+                           jax.lax.stop_gradient(nd), nd)
+            clen = jnp.where(wrapped, jax.lax.stop_gradient(clen), clen)
+            # catch-all for sub-threshold chaos: sanitize the cotangents
+            # flowing back through each chord (see _grad_guard)
+            nd = _grad_guard(nd)
+            clen = _grad_guard(clen)
             dead = dead | sdead
             clen = jnp.where(dead | (s >= sgc), 0.0, clen)
-            nxt = pos + nd * clen[..., None]
+            nxt = _grad_guard(pos + nd * clen[..., None])
             return (nxt, nd, dead), (pos, nd)
         (_, _, _), (so_all, sd_all) = jax.lax.scan(
             step, (rays.o, rays.d, jnp.zeros(shape, bool)),

@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--fov", type=float, default=30.0)
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sharded", action="store_true",
+                   help="lane-shard batches over all devices "
+                        "(parallel/sharding mesh)")
     args = p.parse_args(argv)
 
     from rrt_tpu.physics import kerr
@@ -58,9 +61,16 @@ def main(argv=None):
     print(f"[KerrTracer] {w}x{h}, {args.spp} spp, M={args.mass}, "
           f"a={args.spin}, steps={args.steps}")
     t0 = time.time()
+    sharding = None
+    if args.sharded:
+        from rrt_tpu.parallel import sharding as sh
+        mesh = sh.make_mesh()
+        sharding = sh.batch_sharding(mesh)
+        print(f"[KerrTracer] lane-sharded over {mesh.devices.size} device(s)")
     img = K.render_image(w, h, bh, disk, eye=tuple(args.eye),
                          fov_deg=args.fov, env=env, spp=args.spp,
-                         seed=args.seed, n_steps=args.steps)
+                         seed=args.seed, n_steps=args.steps,
+                         sharding=sharding)
     dt = time.time() - t0
     n_rays = w * h * args.spp
     print(f"[KerrTracer] {dt:.1f}s — {n_rays/dt:.3g} rays/s, "

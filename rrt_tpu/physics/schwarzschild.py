@@ -47,6 +47,34 @@ def ode_rhs(u, r):
     return -u + 1.5 * r * u * u
 
 
+@jax.custom_vjp
+def grad_guard(x):
+    """Identity whose COTANGENT is sanitized (NaN/inf scrubbed, clipped).
+
+    Near-wrap geodesic steps are chaotic: reverse-mode Jacobian products
+    through u→1/u→1e9-scale positions overflow f32 *inside a single
+    step's VJP*, and one poisoned lane NaNs the whole summed parameter
+    gradient (d/dΔθ especially — `up` appears by value in ∂u_new/∂Δθ).
+    Stationing these identity guards between the step's stages bounds
+    every backward product: cotangents are clipped to ±1e3 at each guard,
+    and the per-stage Jacobians between guards are ≤ ~1e18, so no product
+    can reach f32 inf. Forward values are bit-identical — non-AD paths
+    (including reference parity) are unaffected."""
+    return x
+
+
+def _gg_fwd(x):
+    return x, None
+
+
+def _gg_bwd(_, ct):
+    ct = jnp.nan_to_num(ct, nan=0.0, posinf=0.0, neginf=0.0)
+    return (jnp.clip(ct, -1e3, 1e3),)
+
+
+grad_guard.defvjp(_gg_fwd, _gg_bwd)
+
+
 def micro_step(pos, direction, bh: BlackHoleParams):
     """One Δθ micro-ray step for a batch of rays.
 
@@ -65,18 +93,30 @@ def micro_step(pos, direction, bh: BlackHoleParams):
     at_center = d2 <= 0
     dist = jnp.sqrt(jnp.where(at_center, 1.0, d2))
     x_hat = x_axis / dist[..., None]
-    u = 1.0 / dist
+    # Magnitude caps (u ≤ 1e12, |u'| ≤ 1e15, |f| ≤ 1e30): lanes that
+    # land pathologically close to the hole center produce u² terms that
+    # overflow f32 to inf. Forward, those lanes already yield d_new ≈ 0
+    # (a chord collapsing to the center) and the caps keep that limit to
+    # within ~1e-27 absolute. The REAL reason for the caps is reverse
+    # mode: an inf forward value makes some ∂/∂Δθ partial inf, and the
+    # chain rule's 0·inf = NaN then poisons the SUMMED parameter
+    # gradient for the whole batch. The reference marches these lanes in
+    # double precision where the same garbage just stays finite longer —
+    # their values are chaotic either way.
+    u = 1.0 / jnp.maximum(dist, 1e-12)   # cap via the denominator, so the
+    # intermediate 1/dist² partial can never itself overflow
     dx = jnp.sum(direction * x_hat, axis=-1)
     y_axis = direction - dx[..., None] * x_hat
     y2 = jnp.sum(y_axis * y_axis, axis=-1)
     dead = (y2 < _DY_EPS * _DY_EPS) | at_center
     safe_dy = jnp.sqrt(jnp.where(dead, 1.0, y2))
     y_hat = y_axis / safe_dy[..., None]
-    up = -u * dx / safe_dy
+    up = grad_guard(jnp.clip(-u * dx / safe_dy, -1e15, 1e15))
     r = bh.radius
-    f1 = ode_rhs(u, r)
-    f2 = ode_rhs(u + up * dt / 2.0, r)
-    f3 = ode_rhs(u + up * dt / 2.0 + f1 * dt * dt / 4.0, r)
+    fclip = lambda f: jnp.clip(f, -1e30, 1e30)
+    f1 = fclip(ode_rhs(u, r))
+    f2 = fclip(ode_rhs(u + up * dt / 2.0, r))
+    f3 = fclip(ode_rhs(u + up * dt / 2.0 + f1 * dt * dt / 4.0, r))
     u_new = u + up * dt + (f1 + f2 + f3) * dt * dt / 6.0
     # u_new <= 0 is NOT an error in the reference: d = 1/u goes negative
     # and the path "teleports" through the hole to the mirrored polar
@@ -84,16 +124,23 @@ def micro_step(pos, direction, bh: BlackHoleParams):
     # is true UB). Those wrapped chords re-cross the scene and are load-
     # bearing for occlusion statistics (e.g. env-light NEE inside a box),
     # so reproduce them; clamp |d| to keep f32 chord² finite.
-    tiny = 1e-30
-    u_safe = jnp.where(jnp.abs(u_new) > tiny, u_new,
-                       jnp.where(u_new >= 0, tiny, -tiny))
-    d_new = jnp.clip(1.0 / u_safe, -1e9, 1e9)
+    # |u_new| < 1e-9 is the clamp region (|1/u| > 1e9). Branch with
+    # `where` on a SAFE denominator instead of clip(1/u): the clip zeroes
+    # the gradient there anyway, but reverse-mode still evaluates
+    # d(1/u)/du = -1/u² → f32 inf, and inf·0 = NaN poisons d/d(Δθ) on
+    # every teleport lane. Forward values are bit-identical to
+    # clip(1/u_safe, ±1e9) (and to the fused kernel's copy of this line).
+    clip_region = jnp.abs(u_new) < 1e-9
+    u_den = jnp.where(clip_region, 1.0, u_new)
+    d_new = grad_guard(jnp.where(clip_region,
+                                 jnp.where(u_new >= 0, 1e9, -1e9),
+                                 1.0 / u_den))
     next_pt = (
         bh.position
         + (d_new * jnp.cos(dt))[..., None] * x_hat
         + (d_new * jnp.sin(dt))[..., None] * y_hat
     )
-    chord = next_pt - pos
+    chord = grad_guard(next_pt - pos)
     c2 = jnp.sum(chord * chord, axis=-1)
     zero_len = c2 <= 0
     chord_len = jnp.sqrt(jnp.where(zero_len, 1.0, c2))

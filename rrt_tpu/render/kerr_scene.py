@@ -59,6 +59,16 @@ def _doppler_g(x, y, p, mass, a):
     sq_m = jnp.sqrt(mass)
     omega = sq_m / (r ** 1.5 + a * sq_m)
     ut_inner = 1.0 - 3.0 * mass / r + 2.0 * a * sq_m / r ** 1.5
+    # Clamp floors: ut_inner → 0 at the innermost stable circular orbit
+    # (r_isco; r = 3M for a = 0), where a physical Keplerian emitter
+    # cannot exist — the disk's inner edge is at r_isco, so clamped
+    # samples lie inside the hole's shadow or the disk gap and are
+    # discarded by the disk-extent mask downstream; the floor only keeps
+    # the masked lanes' forward values finite (g capped at ~1e3·√(1e3),
+    # far above any emitted-disk g, which stays O(1-3) outside r_isco —
+    # cf. Cunningham 1975's transfer-function tables where g peaks < 2
+    # for a ≤ 0.998). denom → 0 would need ω·L_z → 1, i.e. a photon
+    # co-rotating exactly with the emitter — same masked-region case.
     ut = 1.0 / jnp.sqrt(jnp.maximum(ut_inner, 1e-3))
     lz = x * p[..., 1] - y * p[..., 0]
     denom = ut * (1.0 - omega * lz)
@@ -164,10 +174,16 @@ def render_image(width, height, bh: kerr.KerrParams, disk: DiskParams,
                  eye=(0.0, 3.0, 22.0), target=(0.0, 0.0, 0.0),
                  fov_deg=30.0, env: Optional[EnvMap] = None,
                  spp: int = 1, seed: int = 0,
-                 n_steps: int = 600, batch: int = 1 << 16) -> np.ndarray:
+                 n_steps: int = 600, batch: int = 1 << 18,
+                 sharding=None) -> np.ndarray:
     """Render the Kerr-disk scene to an (H, W, 3) HDR image, processing
-    the pixel lanes in batches (each batch one jit call)."""
-    fn = jax.jit(functools_partial_render(bh, disk, env, n_steps))
+    the pixel lanes in batches (each batch one jit call).
+
+    `sharding` (a NamedSharding over the lane axis, see parallel/sharding)
+    shards every batch across the device mesh — same scheme as the main
+    renderer's megabatches; GSPMD runs the RK4 scan per-device with no
+    cross-device traffic (pixels are independent)."""
+    fn = jax.jit(functools_partial_render(bh, disk, env, n_steps, sharding))
     n = width * height
     acc = np.zeros((n, 3), np.float32)
     key = jax.random.key(seed)
@@ -181,11 +197,27 @@ def render_image(width, height, bh: kerr.KerrParams, disk: DiskParams,
                             jitter)
         for i in range(0, n, batch):
             sl = slice(i, min(i + batch, n))
-            acc[sl] += np.asarray(fn(o[sl], d[sl]))
+            ob, db = o[sl], d[sl]
+            if ob.shape[0] % _sharding_divisor(sharding) != 0:
+                pad = (-ob.shape[0]) % _sharding_divisor(sharding)
+                ob = jnp.pad(ob, ((0, pad), (0, 0)))
+                db = jnp.pad(db, ((0, pad), (0, 0)), constant_values=1.0)
+                acc[sl] += np.asarray(fn(ob, db))[:sl.stop - sl.start]
+            else:
+                acc[sl] += np.asarray(fn(ob, db))
     return (acc / spp).reshape(height, width, 3)
 
 
-def functools_partial_render(bh, disk, env, n_steps):
+def _sharding_divisor(sharding) -> int:
+    if sharding is None:
+        return 1
+    return int(np.prod([sharding.mesh.shape[a] for a in sharding.mesh.shape]))
+
+
+def functools_partial_render(bh, disk, env, n_steps, sharding=None):
     def fn(o, d):
+        if sharding is not None:
+            o = jax.lax.with_sharding_constraint(o, sharding)
+            d = jax.lax.with_sharding_constraint(d, sharding)
         return render_rays(o, d, bh, disk, env, n_steps)
     return fn

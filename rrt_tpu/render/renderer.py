@@ -67,6 +67,8 @@ class Renderer:
         self.sharding = sharding
         self._pass_fns = {}  # (samples-per-pass k, region) -> jitted pass fn
         self._stop = False
+        from rrt_tpu.utils.stats import PhaseTimer
+        self.timer = PhaseTimer()   # compile / passes / io phases
 
     def stop(self):
         """Request clean cancellation between passes (the reference's
@@ -226,9 +228,14 @@ class Renderer:
         try:
             while s < cfg.ns_aa:
                 ks = min(k, cfg.ns_aa - s)
-                acc = self._pass_fn(ks, region)(
-                    acc, jax.random.fold_in(base, s),
-                    jnp.asarray(s, jnp.int32))
+                first = (ks, region) not in self._pass_fns
+                ph = "compile+first-pass" if first else "passes"
+                with self.timer.phase(ph):
+                    acc = self._pass_fn(ks, region)(
+                        acc, jax.random.fold_in(base, s),
+                        jnp.asarray(s, jnp.int32))
+                    if first:
+                        jax.block_until_ready(acc)
                 s += ks
                 if cfg.adaptive and s % cfg.samples_per_batch == 0:
                     if bool(jnp.all(acc[4])):
@@ -256,7 +263,8 @@ class Renderer:
             except Exception:
                 pass  # donated/deleted buffers: keep the last periodic save
         rad_sum, _, _, count, _ = acc
-        count = np.asarray(count).reshape(rh, rw)
+        with self.timer.phase("passes"):    # drain in-flight device work
+            count = np.asarray(count).reshape(rh, rw)
         hdr = (np.asarray(rad_sum).reshape(rh, rw, 3)
                / np.maximum(count[..., None], 1))
         self.last_sample_count = count

@@ -68,8 +68,10 @@ def expected_stats(cfg: RenderConfig, n_lights_total_samples: int,
         st.shadow_rays = lanes * n_lights_total_samples
     else:
         n_vertices = md if md >= 1 else 0
-        if cfg.illum == Illum.INDIRECT and md >= 1:
-            n_vertices = md  # first-vertex NEE skipped but still traced
+        if cfg.illum == Illum.INDIRECT:
+            # the first vertex skips its whole NEE call (occlusion trace
+            # included) — integrator.est_radiance vertex(first=True)
+            n_vertices = max(md - 1, 0)
         st.shadow_rays = lanes * n_lights_total_samples * n_vertices
         st.bounce_rays = lanes * max(md - 1, 0)
     if cfg.black_hole.enabled:

@@ -24,6 +24,9 @@ import numpy as np
 def main():
     pid, nproc, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                   sys.argv[3], sys.argv[4])
+    # optional frame size (tools/scaling_bench.py passes larger frames;
+    # the 2-process test keeps the cheap 16x16 default)
+    size = int(sys.argv[5]) if len(sys.argv) > 5 else 16
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +44,7 @@ def main():
 
     from rrt_tpu.utils.config import BlackHoleConfig
 
-    W, H = 16, 16
+    W = H = size
     # flat spacetime: the reference's 800x600-configure-then-resize FoV
     # quirk makes a 16x16 frame a ~1° telephoto of the back wall, and with
     # the default black hole the lensed NEE paths can all miss — radiance

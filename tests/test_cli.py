@@ -71,3 +71,20 @@ def test_kerr_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     img = read_png(out)[..., :3]
     assert img.max() > 10  # disk visible
+
+
+def test_dump_accel(tmp_path):
+    """--dump-accel writes the cluster-table JSON + touched-count heatmap
+    (the BVH-visualizer analog, pathtracer.cpp:330-423)."""
+    import json
+    from rrt_tpu import cli
+    base = str(tmp_path / "viz")
+    out = str(tmp_path / "out.png")
+    cli.main(["-f", out, "-r", "32", "24", "-s", "1", "--illum", "0",
+              "--dump-accel", base,
+              "/root/reference/pathtracer/dae/sky/CBspheres_lambertian.dae"])
+    doc = json.loads(open(base + "_accel.json").read())
+    assert doc["cluster_size"] == 64
+    assert len(doc["clusters"]) >= 1
+    assert doc["clusters"][0]["tri_rows"][1] == 64
+    assert (tmp_path / "viz_accel.png").exists()

@@ -194,3 +194,20 @@ def test_shadow_shrinks_prograde_grows_retrograde():
     # (its critical b is larger).
     _, cap_ret = _deflect(M, -a, 1.10 * b0, n=12000, dlam=0.01)
     assert cap_ret
+
+
+def test_kerr_sharded_matches_unsharded():
+    """Lane-sharded Kerr render (config 5 path) bit-matches the unsharded
+    render on a virtual multi-device mesh — pixels are independent, so the
+    sharding layer must be placement-only."""
+    from rrt_tpu.parallel import sharding as sh
+    bh = kerr.KerrParams(position=jnp.zeros(3),
+                         mass=jnp.asarray(1.0, jnp.float32),
+                         spin=jnp.asarray(0.9, jnp.float32))
+    disk = K.default_disk()
+    w = h = 32
+    img0 = K.render_image(w, h, bh, disk, n_steps=80)
+    mesh = sh.make_mesh()
+    img1 = K.render_image(w, h, bh, disk, n_steps=80,
+                          sharding=sh.batch_sharding(mesh))
+    np.testing.assert_allclose(img0, img1, rtol=1e-6, atol=1e-7)

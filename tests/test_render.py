@@ -275,3 +275,38 @@ def test_nee_chunking_matches_unchunked():
     assert bool(jnp.all(jnp.isfinite(L_chunked)))
     np.testing.assert_allclose(np.array(L_chunked), np.array(L_single),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_parity_sane_fov_direct_cell():
+    """Parity at the reference's NATIVE FoV (800x600, where configure →
+    resize is the identity and hFov is the authored ~50°) — the only
+    resolution where the whole box is in frame, so this exercises NEE,
+    the boundary-quirk normals, and curved shadow rays across every wall.
+
+    A 200x200 cell keeps it affordable; depth 1 (direct + emission),
+    default black hole. Block means at the 1-spp noise floor.
+    """
+    ref_bin = _ensure_ref_binary()
+    ref_png = "/tmp/parity_ref_800_cell.png"
+    x, y, dx, dy = 150, 200, 200, 200
+    subprocess.run(
+        [ref_bin, "-f", ref_png, "-r", "800", "600", "-s", "1", "-l", "1",
+         "-m", "1", "-t", "2", "-p", str(x), str(y), str(dx), str(dy),
+         f"{DAE}/sky/CBspheres_lambertian.dae"],
+        check=True, capture_output=True, timeout=600)
+    cfg = RenderConfig(width=800, height=600, ns_aa=1, ns_area_light=1,
+                       max_ray_depth=1, seed=3)
+    scene, cam = load_scene(f"{DAE}/sky/CBspheres_lambertian.dae", 800, 600)
+    r = Renderer(scene, cam, cfg)
+    hdr_cell = r.render_cell(x, y, dx, dy)
+    from rrt_tpu.render import film
+    mine = film.to_color(hdr_cell)[..., :3].astype(np.float64)
+    # the reference crops the PNG to the cell and writes it row-flipped
+    ref = read_png(ref_png)[..., :3].astype(np.float64)[::-1]
+    B = 25
+    mb = mine.reshape(dy // B, B, dx // B, B, 3).mean((1, 3, 4))
+    rb = ref.reshape(dy // B, B, dx // B, B, 3).mean((1, 3, 4))
+    d = np.abs(mb - rb)
+    assert d.mean() < 2.0, (d.mean(), d.max())
+    assert d.max() < 12.0, (d.mean(), d.max())
