@@ -257,7 +257,11 @@ def trace_curved_marched(
     # (incoherent) batches cull like camera batches. Lanes also RESOLVE in
     # sorted-neighbor groups, so late segments leave whole chunks dead for
     # the chunk-level early-out. The permutation is undone on return.
-    sort = n >= 2048
+    import os
+    sort = (n >= 2048
+            and (scene.cluster_lo is None
+                 or scene.cluster_lo.shape[0] >= 32)
+            and os.environ.get("RRT_TRACE_SORT", "1") != "0")
     if sort:
         ext = jnp.where(ghi > glo, ghi - glo, 1.0)
         q = jnp.clip(((o - glo) / ext) * 127.0, 0.0, 127.0).astype(jnp.int32)

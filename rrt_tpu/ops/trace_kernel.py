@@ -629,8 +629,37 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
         min_t=rays.min_t.reshape(-1),
         max_t=rays.max_t.reshape(-1),
     )
+    # Sort lanes by (direction octant, origin Morton cell) so the
+    # kernel's per-tile cluster culling sees coherent tiles even for
+    # bounce/shadow batches — same scheme as the XLA path
+    # (trace.trace_curved_marched). Undone on return.
+    import os
+    n_lanes = flat_rays.o.shape[0]
+    # sorting pays on BVH-scale scenes where per-tile culling matters;
+    # on few-cluster scenes it is pure overhead — gate on cluster count
+    sort = (n_lanes >= 2048 and scene.cluster_lo.shape[0] >= 32
+            and os.environ.get("RRT_TRACE_SORT", "1") != "0")
+    if sort:
+        from rrt_tpu.geometry.trace import _morton7, _scene_bbox
+        glo, ghi = _scene_bbox(scene)
+        ext = jnp.where(ghi > glo, ghi - glo, 1.0)
+        q = jnp.clip(((flat_rays.o - glo) / ext) * 127.0,
+                     0.0, 127.0).astype(jnp.int32)
+        m = (_morton7(q[:, 0]) << 2 | _morton7(q[:, 1]) << 1
+             | _morton7(q[:, 2]))
+        octant = ((flat_rays.d[:, 0] < 0).astype(jnp.int32) * 4
+                  + (flat_rays.d[:, 1] < 0).astype(jnp.int32) * 2
+                  + (flat_rays.d[:, 2] < 0).astype(jnp.int32))
+        perm = jnp.argsort(octant * (1 << 21) + m)
+        flat_rays = jax.tree_util.tree_map(lambda a: a[perm], flat_rays)
     hit, absd, t, prim, seg, seg_o, seg_d = pallas_trace_raw(
         scene, bh, flat_rays, curved, n_seg, interpret)
+    if sort:
+        inv_perm = jnp.argsort(perm)
+        unp = lambda a: a[inv_perm]
+        hit, absd, t, prim, seg = (unp(hit), unp(absd), unp(t), unp(prim),
+                                   unp(seg))
+        seg_o, seg_d = unp(seg_o), unp(seg_d)
 
     # recompute barycentrics for winning triangles (1 tri per ray)
     n_t = scene.n_tris
