@@ -104,16 +104,22 @@ def main():
                     + st.total_rays * 40 + st.camera_rays * 200)
     mfu = 100.0 * useful_flops / dt / V5E_VPU_PEAK_FLOPS
 
-    # secondary: bunny-scale traversal, small frame
-    bcfg = RenderConfig(width=128, height=128, ns_aa=1, ns_area_light=1,
-                        max_ray_depth=2, seed=0, trace_backend=backend)
-    bscene, bcam = load_scene(BUNNY, 128, 128)
-    br = Renderer(bscene, bcam, bcfg)
-    br.render()                          # compile
-    t0 = time.time()
-    br.render()
-    bdt = time.time() - t0
-    bunny_rps = 128 * 128 / bdt
+    # secondary: bunny-scale traversal, small frame. Never let this stage
+    # cost the primary metric — any failure degrades to bunny=None.
+    bunny_rps = None
+    bdt = 0.0
+    try:
+        bcfg = RenderConfig(width=128, height=128, ns_aa=1, ns_area_light=1,
+                            max_ray_depth=2, seed=0, trace_backend=backend)
+        bscene, bcam = load_scene(BUNNY, 128, 128)
+        br = Renderer(bscene, bcam, bcfg)
+        br.render()                      # compile
+        t0 = time.time()
+        br.render()
+        bdt = time.time() - t0
+        bunny_rps = round(128 * 128 / bdt, 1)
+    except Exception as e:               # noqa: BLE001 — report, don't die
+        print(f"# bunny stage failed: {e}", file=sys.stderr)
 
     out = {
         "metric": "camera_rays_per_sec_curved_gi_256x256_16spp_d5",
@@ -123,7 +129,7 @@ def main():
         "marched_rays_per_sec": round(marched_per_sec, 1),
         "geodesic_steps_per_sec": round(geo_steps_per_sec, 1),
         "mfu_lower_bound_pct": round(mfu, 3),
-        "bunny_camera_rays_per_sec": round(bunny_rps, 1),
+        "bunny_camera_rays_per_sec": bunny_rps,
         "trace_backend": backend,
     }
     print(json.dumps(out))
