@@ -56,6 +56,8 @@ class LightInfo:
         default_factory=lambda: np.array([0.0, 0.0, -1.0]))
     up: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([0.0, 1.0, 0.0]))
+    # the reference's write-only catch-all (see _parse_light)
+    constant_att: float = 1.0
 
 
 @dataclasses.dataclass
@@ -89,6 +91,18 @@ class PolymeshInfo:
     # list of per-polygon vertex index lists
     polygons: List[List[int]] = dataclasses.field(default_factory=list)
     material: Optional[MaterialInfo] = None
+    # authored NORMAL/TEXCOORD sources + per-polygon corner index lists
+    # (collada.cpp:718-846). The reference parses these but its renderer
+    # never consumes them (normals come from the halfedge recompute);
+    # carried here for the same round-trip completeness and for textured
+    # extensions.
+    normals: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    texcoords: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 2)))
+    normal_indices: List[List[int]] = dataclasses.field(default_factory=list)
+    texcoord_indices: List[List[int]] = dataclasses.field(
+        default_factory=list)
 
 
 @dataclasses.dataclass
@@ -291,6 +305,17 @@ def _parse_light(doc: _Doc, el: ET.Element) -> LightInfo:
     color = doc.child(e_light, "color")
     if color is not None:
         light.spectrum = _spectrum(color.text)
+    # attenuation / falloff: the reference funnels EVERY one of these
+    # values into the same `constant_att` field, last assignment winning
+    # (collada.cpp:533-571 assigns falloff_angle, falloff_exponent,
+    # constant/linear/quadratic_attenuation all to constant_att) — and
+    # never reads it. Replicated, minus the hard exit() on absence.
+    for tag in ("falloff_angle", "falloff_exponent",
+                "constant_attenuation", "linear_attenuation",
+                "quadratic_attenuation"):
+        e = doc.child(e_light, tag)
+        if e is not None and e.text:
+            light.constant_att = float(e.text)
     return light
 
 
@@ -339,6 +364,7 @@ def _parse_polymesh(doc: _Doc, el: ET.Element) -> PolymeshInfo:
     vertex_offset = 0
     stride = 0
     has_vertex = False
+    normal_offset = texcoord_offset = None
     for inp in doc.children(poly, "input"):
         sem = inp.get("semantic")
         off = int(inp.get("offset", 0))
@@ -348,6 +374,16 @@ def _parse_polymesh(doc: _Doc, el: ET.Element) -> PolymeshInfo:
             vertex_offset = off
             if inp.get("source")[1:] != vertices_id:
                 raise ValueError("VERTEX input does not reference vertices")
+        elif sem == "NORMAL":
+            normal_offset = off
+            s = sources.get(inp.get("source")[1:])
+            if s is not None:
+                out.normals = s.reshape(-1, 3)
+        elif sem == "TEXCOORD":
+            texcoord_offset = off
+            s = sources.get(inp.get("source")[1:])
+            if s is not None:
+                out.texcoords = s.reshape(-1, 2)
     if not has_vertex:
         return out
 
@@ -370,6 +406,14 @@ def _parse_polymesh(doc: _Doc, el: ET.Element) -> PolymeshInfo:
     for sz in sizes:
         out.polygons.append(
             [int(idx[(k + j) * stride + vertex_offset]) for j in range(sz)])
+        if normal_offset is not None:
+            out.normal_indices.append(
+                [int(idx[(k + j) * stride + normal_offset])
+                 for j in range(sz)])
+        if texcoord_offset is not None:
+            out.texcoord_indices.append(
+                [int(idx[(k + j) * stride + texcoord_offset])
+                 for j in range(sz)])
         k += sz
     return out
 

@@ -102,3 +102,20 @@ def test_materials_glass_mirror():
             if isinstance(n.instance, collada.SphereInfo)]
     kinds = sorted(m.kind for m in mats if m)
     assert kinds == ["glass", "mirror"]
+
+
+def test_polymesh_normals_texcoords_parsed():
+    """Authored NORMAL/TEXCOORD sources + per-corner indices round-trip
+    (collada.cpp:718-846); the renderer recomputes normals like the
+    reference, but the data must be carried."""
+    info = collada.load(f"{DAE}/sky/CBspheres_lambertian.dae")
+    pm = [n.instance for n in info.nodes
+          if type(n.instance).__name__ == "PolymeshInfo"]
+    floor = [p for p in pm if len(p.vertices) == 4][0]
+    assert floor.normals.shape[1] == 3 and len(floor.normals) >= 1
+    assert floor.texcoords.shape[1] == 2
+    assert len(floor.normal_indices) == len(floor.polygons)
+    assert len(floor.texcoord_indices) == len(floor.polygons)
+    for poly, ni, ti in zip(floor.polygons, floor.normal_indices,
+                            floor.texcoord_indices):
+        assert len(ni) == len(poly) and len(ti) == len(poly)

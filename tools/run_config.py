@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--flat", action="store_true")
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-pass-lanes", type=int, default=None,
+                    help="cap lanes per jitted pass (bounds single-"
+                         "dispatch device time; tunneled TPUs kill "
+                         "dispatches that run too long)")
     args = ap.parse_args()
 
     from rrt_tpu.scene.build import load_scene
@@ -37,7 +41,9 @@ def main():
         width=W, height=H, ns_aa=args.spp, ns_area_light=args.light_samples,
         max_ray_depth=args.depth, seed=args.seed,
         trace_backend=args.backend,
-        black_hole=BlackHoleConfig(enabled=not args.flat))
+        black_hole=BlackHoleConfig(enabled=not args.flat),
+        **({"max_pass_lanes": args.max_pass_lanes}
+           if args.max_pass_lanes else {}))
     scene, cam = load_scene(args.scene, W, H)
     r = Renderer(scene, cam, cfg)
     t0 = time.time()
