@@ -310,3 +310,22 @@ def test_parity_sane_fov_direct_cell():
     d = np.abs(mb - rb)
     assert d.mean() < 2.0, (d.mean(), d.max())
     assert d.max() < 12.0, (d.mean(), d.max())
+
+
+@pytest.mark.parametrize("scene_rel", [
+    "sky/CBgems.dae",            # glass gems + sphere lights (stub kinds)
+    "sky/CBcoil.dae",            # mirror coil, 7k tris
+    "sky/CBspheres_tex.dae",     # textured-material variant
+    "keenan/banana.dae",         # multi-mesh, non-box geometry
+    "meshedit/cow.dae",          # meshedit corpus
+])
+def test_corpus_normal_shading_smoke(scene_rel):
+    """Every corpus family renders deterministically in the reference's
+    sampler-free ILLUM=0 mode: loads, traces, produces finite nonzero
+    pixels (geometry + interpolated normals + camera placement all sane).
+    """
+    cfg = RenderConfig(width=48, height=36, ns_aa=1, illum=Illum.NORMAL,
+                       black_hole=BlackHoleConfig(enabled=False))
+    hdr, _ = _render_mine(f"{DAE}/{scene_rel}", cfg)
+    assert np.isfinite(hdr).all()
+    assert (hdr.max(-1) > 0.05).mean() > 0.1, "scene mostly empty"
