@@ -29,6 +29,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rrt_tpu.geometry.intersect import (build_hit, closest_hit,
                                         sphere_intersect, tri_intersect)
@@ -213,7 +214,57 @@ def _scene_bbox(scene: SceneData):
             jnp.maximum(ghi_t, jnp.max(shi, axis=0)))
 
 
+# chord storage per lane is n_seg·7 f32 ≈ 1.7 KB; one slab bounds the
+# phase-A tables (~1.8 GB at 1M lanes) regardless of caller batch size
+LANE_SLAB = 1 << 20
+
+
 def trace_curved_marched(
+    scene: SceneData,
+    bh: BlackHoleParams,
+    rays: Rays,
+    n_seg: int,
+    chunk: int = 512,
+    accel: str = "auto",
+    return_seg: bool = False,
+):
+    """Lane-slab wrapper over `_trace_curved_marched_slab`: giant batches
+    (NEE chunks can reach lanes × ns_area_light) are processed LANE_SLAB
+    lanes at a time under `lax.map` so the march-once chord tables never
+    exceed ~2 GB. Lanes are independent, so results are identical."""
+    shape = rays.o.shape[:-1]
+    n = int(np.prod(shape)) if shape else 1
+    if n <= LANE_SLAB:
+        return _trace_curved_marched_slab(scene, bh, rays, n_seg, chunk,
+                                          accel, return_seg)
+    flat = Rays(o=rays.o.reshape(-1, 3), d=rays.d.reshape(-1, 3),
+                min_t=rays.min_t.reshape(-1), max_t=rays.max_t.reshape(-1))
+    n_pad = -(-n // LANE_SLAB) * LANE_SLAB
+    pad1 = lambda a: jnp.pad(a, (0, n_pad - n)).reshape(-1, LANE_SLAB)
+    pad3 = lambda a: jnp.pad(a, ((0, n_pad - n), (0, 0))).reshape(
+        -1, LANE_SLAB, 3)
+    batched = Rays(o=pad3(flat.o),
+                   d=pad3(jnp.where(jnp.abs(flat.d) < 1e-20, 1.0, flat.d)),
+                   min_t=pad1(flat.min_t),
+                   max_t=jnp.pad(flat.max_t, (0, n_pad - n),
+                                 constant_values=-1.0).reshape(
+                       -1, LANE_SLAB))
+
+    def one(rs):
+        return _trace_curved_marched_slab(scene, bh, rs, n_seg, chunk,
+                                          accel, True)
+
+    h, seg = jax.lax.map(one, batched)
+    cut = lambda a: a.reshape((-1,) + a.shape[2:])[:n].reshape(
+        shape + a.shape[2:])
+    h = jax.tree_util.tree_map(cut, h)
+    seg = cut(seg)
+    if return_seg:
+        return h, seg
+    return h
+
+
+def _trace_curved_marched_slab(
     scene: SceneData,
     bh: BlackHoleParams,
     rays: Rays,

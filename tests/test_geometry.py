@@ -236,3 +236,35 @@ def test_cluster_closest_hit_matches_brute():
         assert (np.asarray(hb[2])[m] == np.asarray(hc[2])[m]).all()
         np.testing.assert_allclose(np.asarray(hb[1])[m],
                                    np.asarray(hc[1])[m], rtol=1e-6)
+
+
+def test_curved_marched_lane_slabs_match():
+    """The LANE_SLAB wrapper (bounds the march-once chord tables for giant
+    NEE batches) must be invisible: slabbed == direct, lane for lane."""
+    import rrt_tpu.geometry.trace as T
+    from rrt_tpu.io import collada
+    from rrt_tpu.scene.build import build_scene
+    from rrt_tpu.types import BlackHoleParams, Rays
+
+    scene, cam = build_scene(
+        collada.load(f"{DAE}/sky/CBspheres_lambertian.dae"), 128, 128)
+    bh = BlackHoleParams(position=jnp.array([0.0, 1.0, 0.0]),
+                         radius=jnp.float32(0.1),
+                         delta_theta=jnp.float32(0.1))
+    n = 4096
+    xs = (jnp.arange(n) % 64 + 0.5) / 64
+    ys = (jnp.arange(n) // 64 + 0.5) / 64
+    rays = cam.generate_rays(jnp.stack([xs, ys], axis=-1))
+    direct = T._trace_curved_marched_slab(scene, bh, rays, 63)
+    old = T.LANE_SLAB
+    try:
+        T.LANE_SLAB = 1024          # force 4 slabs + padding
+        slabbed, seg = T.trace_curved_marched(scene, bh, rays, 63,
+                                              return_seg=True)
+    finally:
+        T.LANE_SLAB = old
+    assert bool(jnp.all(direct.hit == slabbed.hit))
+    m = np.asarray(direct.hit)
+    assert (np.asarray(direct.prim_id)[m]
+            == np.asarray(slabbed.prim_id)[m]).all()
+    assert seg.shape == (n,)
