@@ -159,8 +159,15 @@ def _refract(wo, ior):
     return ok, wi
 
 
-def sample(table: BSDFTable, bsdf_id, wo, key) -> BSDFSample:
-    """sample_f(wo) for every lane; all models computed, kind-selected."""
+def sample(table: BSDFTable, bsdf_id, wo, key,
+           microfacet_hemi: bool = False) -> BSDFSample:
+    """sample_f(wo) for every lane; all models computed, kind-selected.
+
+    `microfacet_hemi=True` reproduces the reference's MICROFACET_HEMI==1
+    compile switch (bsdf.h:4): the microfacet lobe falls back to
+    cosine-hemisphere sampling (the docs' importance-vs-uniform noise
+    comparison mode) instead of Beckmann half-vector importance sampling.
+    """
     m = _gather(table, bsdf_id)
     shape = bsdf_id.shape
     k1, k2, k3 = jax.random.split(key, 3)
@@ -221,6 +228,12 @@ def sample(table: BSDFTable, bsdf_id, wo, key) -> BSDFSample:
         ((1.0 - schlick) / (abs_z[..., 0] * eta_g * eta_g))[..., None]
         * m.transmittance,
     )
+
+    if microfacet_hemi:
+        # MICROFACET_HEMI==1: cosine-hemisphere proposals, f evaluated
+        wi_mf = wi_cos
+        pdf_mf = pdf_cos
+        val_mf = _mf_f(wo, wi_cos, m.eta, m.k, m.alpha)
 
     # --- select by kind
     kind = m.kind

@@ -104,7 +104,9 @@ def direct_lighting_importance(
         total += ns
         for s in range(ns):
             key, k = jax.random.split(key)
-            ls = lightlib.sample_light(scene.lights, li, hit.p, k, scene.env)
+            ls = lightlib.sample_light(
+                scene.lights, li, hit.p, k, scene.env,
+                env_importance=cfg.env_importance_sampling)
             rads.append(ls.radiance)
             wis.append(ls.wi)
             dists.append(ls.dist)
@@ -271,7 +273,8 @@ def est_radiance(
 
         fx, fy, fz = _frames(hit)
         wo = m3.to_local(fx, fy, fz, hit.w_out)
-        smp = bsdflib.sample(scene.bsdfs, hit.bsdf_id, wo, k_bsdf)
+        smp = bsdflib.sample(scene.bsdfs, hit.bsdf_id, wo, k_bsdf,
+                             microfacet_hemi=cfg.microfacet_hemi)
         cont = cont & (smp.pdf > 0)
         wi_w = m3.to_world(fx, fy, fz, smp.wi)
         nxt = Rays(

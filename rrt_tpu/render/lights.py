@@ -42,6 +42,7 @@ def sample_light(
     p: jnp.ndarray,
     key,
     env: Optional[EnvMap] = None,
+    env_importance: bool = True,
 ) -> LightSample:
     """sample_L for static light row `light_idx` at shading points p (...,3).
 
@@ -129,7 +130,19 @@ def sample_light(
 
     if kind == LIGHT_ENV:
         assert env is not None, "LIGHT_ENV row without an EnvMap"
-        rad, wi, dist, pdf = envlib.sample_L(env, key, shape, dt)
+        if env_importance:
+            rad, wi, dist, pdf = envlib.sample_L(env, key, shape, dt)
+        else:
+            # ENV_HEMI==1 (environment_light.cpp:139-142): uniform-sphere
+            # directions, pdf 1/4π, radiance looked up along wi
+            k1, k2 = jax.random.split(key)
+            z = 2.0 * jax.random.uniform(k1, shape, dt) - 1.0
+            phi = 2.0 * PI * jax.random.uniform(k2, shape, dt)
+            s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+            wi = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], axis=-1)
+            rad = envlib.sample_dir(env, wi)
+            dist = jnp.full(shape, INF, dt)
+            pdf = jnp.full(shape, 0.25 / PI, dt)
         return LightSample(radiance=rad, wi=wi, dist=dist, pdf=pdf)
 
     raise ValueError(f"unknown light kind {kind}")

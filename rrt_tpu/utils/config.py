@@ -63,6 +63,8 @@ class RenderConfig:
     black_hole: BlackHoleConfig = dataclasses.field(default_factory=BlackHoleConfig)
     # env light importance sampling (reference ENV_HEMI == 0 means importance)
     env_importance_sampling: bool = True
+    # microfacet cosine-hemisphere fallback (reference MICROFACET_HEMI == 1)
+    microfacet_hemi: bool = False
     # acceleration: "bvh" | "brute" (reference ACCEL switch, bvh.h:4)
     accel: str = "bvh"
     # how many rays each jit megabatch processes (tile pool replacement)

@@ -329,3 +329,44 @@ def test_corpus_normal_shading_smoke(scene_rel):
     hdr, _ = _render_mine(f"{DAE}/{scene_rel}", cfg)
     assert np.isfinite(hdr).all()
     assert (hdr.max(-1) > 0.05).mean() > 0.1, "scene mostly empty"
+
+
+def test_microfacet_hemi_mode():
+    """MICROFACET_HEMI==1 fallback (bsdf.h:4): cosine-hemisphere proposals
+    for the microfacet lobe. Both modes must integrate to statistically
+    similar images (same estimator target, different variance)."""
+    base = dict(width=32, height=32, ns_aa=16, ns_area_light=2,
+                max_ray_depth=1, seed=21,
+                black_hole=BlackHoleConfig(enabled=False))
+    h_imp, _ = _render_mine(f"{DAE}/sky/CBbunny_microfacet_cu.dae",
+                            RenderConfig(**base))
+    h_hemi, _ = _render_mine(f"{DAE}/sky/CBbunny_microfacet_cu.dae",
+                             RenderConfig(microfacet_hemi=True, **base))
+    assert np.isfinite(h_hemi).all()
+    assert abs(h_imp.mean() - h_hemi.mean()) < 0.25 * max(h_imp.mean(), 1e-3)
+
+
+@pytest.mark.slow
+def test_env_hemi_uniform_mode():
+    """ENV_HEMI==1 fallback (environment_light.cpp:139-142): uniform-sphere
+    env sampling with pdf 1/4π must agree in expectation with CDF
+    importance sampling (noisier, same estimator target)."""
+    from rrt_tpu.scene.envmap import build_envmap
+    h_env, w_env = 32, 64
+    yy = np.linspace(0, 1, h_env)[:, None]
+    xx = np.linspace(0, 1, w_env)[None, :]
+    img = np.stack([0.2 + 0.6 * xx + 0 * yy,
+                    0.1 + 0.8 * yy + 0 * xx,
+                    0.5 + 0 * xx + 0 * yy], axis=-1).astype(np.float32)
+    env = build_envmap(img)
+    base = dict(width=32, height=32, ns_aa=32, ns_area_light=4,
+                max_ray_depth=1, seed=23,
+                black_hole=BlackHoleConfig(enabled=False))
+    scene, cam = load_scene(f"{DAE}/sky/CBempty.dae", 32, 32, env=env,
+                            fov_mode="native")
+    h_imp, _ = (lambda c: (Renderer(scene, cam, c).render()))(
+        RenderConfig(**base))
+    h_uni, _ = (lambda c: (Renderer(scene, cam, c).render()))(
+        RenderConfig(env_importance_sampling=False, **base))
+    assert np.isfinite(h_uni).all()
+    assert abs(h_imp.mean() - h_uni.mean()) < 0.5 * max(h_imp.mean(), 1e-3)
