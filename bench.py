@@ -65,9 +65,15 @@ def probe_pallas(timeout_s: int = 90) -> bool:
     try:
         r = subprocess.run([sys.executable, "-c", PROBE],
                            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
+        ok = r.returncode == 0
     except subprocess.TimeoutExpired:
         return False
+    # the axon relay serves ONE client session at a time and stays wedged
+    # briefly after one ends — touching the chip immediately after the
+    # probe subprocess intermittently kills the main process's first
+    # dispatch ("TPU device error", observed r4). Let it settle.
+    time.sleep(20)
+    return ok
 
 
 def main():
@@ -84,8 +90,19 @@ def main():
     r = Renderer(scene, cam, cfg)
 
     # warmup: compile + run the full render once (first TPU compile is
-    # slow; the steady-state render is what the metric measures)
-    r.render()
+    # slow; the steady-state render is what the metric measures). A
+    # relay-infrastructure fault here is fatal to this process's backend,
+    # so re-exec once in a fresh process rather than dying.
+    try:
+        r.render()
+    except Exception as e:                   # noqa: BLE001
+        if os.environ.get("RRT_BENCH_RETRY"):
+            raise
+        print(f"# warmup failed ({e}); re-exec once after settle",
+              file=sys.stderr)
+        time.sleep(30)
+        os.environ["RRT_BENCH_RETRY"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
     t0 = time.time()
     hdr, count = r.render()

@@ -53,6 +53,295 @@ BIG = 3e37
 PART_TRIS = 2048
 # total triangle capacity of the partitioned path (sanity cap)
 SMEM_TRI_BUDGET = 1 << 20
+# kernel culling granularity: CS_K-triangle clusters grouped into
+# SUP-cluster superclusters (3-level: part -> super -> cluster). Finer
+# than the XLA paths' scene.cluster_size=64: measured on CBbunny camera
+# rays, 16-tri clusters cut the per-ray union-gated triangle tests ~4x
+# for ~2x more slab tests, which the supercluster level then halves.
+import os as _os
+CS_K = int(_os.environ.get("RRT_CSK", "16"))
+SUP = 8
+# temporary perf-ablation switch: "nophase2" skips traversal entirely
+# (march only); "noexec" gates but skips triangle execution
+_ABLATE = _os.environ.get("RRT_ABLATE", "")
+
+
+def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
+                     sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
+                     nisect_ref, ncull_ref, chords, ltouch, pbox_ref,
+                     cl_ref, sup_ref, trow_ref, scan_part, slab,
+                     *, p, P, S, n_seg, cluster_size, blocked):
+    """Segment-windowed curved traversal (kernel v3).
+
+    The v2 loop broadcasts each culling/intersection op over ONE chord
+    segment × the whole 1024-ray tile — so a cluster executes whenever any
+    of 1024 rays touches it (measured on CBbunny: 18k prim tests/ray vs
+    the reference BVH's 112, kbench r4). Here every (8,128) vector op
+    covers 8 CONSECUTIVE SEGMENTS (sublanes) × 128 rays (lanes): full VPU
+    width, but the culling union is one 128-ray bundle over one short
+    8-chord path section — ~8× finer on the ray axis at zero extra
+    per-pair cost, and part/cluster slab tests cover 8 segments per op.
+
+    Control flow: fori over the 8 ray sub-rows of the tile; per sub-row a
+    while over segment windows with per-sub-row early exit (the slowest of
+    128 rays bounds the loop, not the slowest of 1024); per window one
+    part-AABB gate, then the shared `scan_part` cluster/triangle loop on
+    the (segment, ray) tile; candidates reduce over sublanes by the
+    first-event rule (segment, then chord t, then prim id) and merge into
+    the per-ray best-event state rows.
+    """
+    if _ABLATE == "nophase2":
+        return
+    n_win = -(-n_seg // 8)
+    i_rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+
+    def subtile(r, carry):
+        row = lambda ref: ref[0, pl.ds(r, 1)]             # (1,128)
+
+        def improv_at(w):
+            s0 = w * 8
+            seg = row(seg_ref)
+            hitm = row(hit_ref) > 0.0
+            ok = ((s0 < seg) | ((s0 == seg) & hitm)) & (s0 <= row(ltouch))
+            return jnp.max(ok.astype(jnp.float32)) > 0.0
+
+        def win_cond(c):
+            w, improv = c
+            return (w < n_win) & improv
+
+        def win_body(c):
+            w, _ = c
+            sidx = i_rows + w * 8                          # (8,128)
+            comps = []
+            for cc in range(7):
+                rows = [chords[jnp.minimum(w * 8 + s, n_seg - 1), cc,
+                               pl.ds(r, 1)] for s in range(8)]
+                comps.append(jnp.concatenate(rows, axis=0))
+            cox, coy, coz, cdx, cdy, cdz, clen = comps
+            seg = row(seg_ref)
+            hitm = row(hit_ref) > 0.0
+            cur_t = row(t_ref)
+            valid = (sidx < n_seg) & (sidx <= row(ltouch))
+            lt_c = (sidx < seg) & valid
+            eq_c = (sidx == seg) & hitm & valid
+            tmax_eff = jnp.where(
+                lt_c, clen,
+                jnp.where(eq_c, jnp.minimum(clen, cur_t), -1.0))
+            part_reach = slab(
+                pbox_ref[p, 0], pbox_ref[p, 1], pbox_ref[p, 2],
+                pbox_ref[p, 3], pbox_ref[p, 4], pbox_ref[p, 5],
+                cox, coy, coz, 1.0 / cdx, 1.0 / cdy, 1.0 / cdz,
+                jnp.zeros((8, 128), jnp.float32), tmax_eff)
+            ncull_ref[0, pl.ds(r, 1)] = ncull_ref[0, pl.ds(r, 1)] + 8
+            do_tris = jnp.max(part_reach.astype(jnp.float32)) > 0.0
+            any_improv = jnp.max(
+                (tmax_eff >= 0.0).astype(jnp.float32)) > 0.0
+            if S > 0:
+                gate = do_tris | ((p == 0) & any_improv)
+            else:
+                gate = do_tris
+
+            def reduce_merge(bt, bp):
+                """First-event reduce of (segment, ray) candidates over the
+                window's 8 segments — (segment, chord t, prim id)
+                lexicographic — then merge into the per-ray state rows."""
+                cand = bp >= 0
+                s_m = jnp.where(cand, sidx, n_seg + 1)
+                min_s = jnp.min(s_m, axis=0, keepdims=True)   # (1,128)
+                on_s = cand & (s_m == min_s)
+                t_m = jnp.where(on_s, bt, BIG)
+                min_t = jnp.min(t_m, axis=0, keepdims=True)
+                on_t = on_s & (t_m == min_t)
+                p_m = jnp.where(on_t, bp, jnp.int32(1 << 30))
+                min_p = jnp.min(p_m, axis=0, keepdims=True)
+                sel = on_t & (p_m == min_p)
+                pick = lambda a: jnp.max(
+                    jnp.where(sel, a, -BIG), axis=0, keepdims=True)
+                has = min_s < n_seg
+                seg_r = row(seg_ref)
+                hit_r = row(hit_ref)
+                t_r = row(t_ref)
+                better = has & ((min_s < seg_r)
+                                | ((min_s == seg_r) & (hit_r > 0.0)
+                                   & (min_t < t_r)))
+                bp_g = jnp.where((min_p >= 0) & (min_p < P),
+                                 min_p + p * P, min_p)
+                st = lambda ref, v: ref.__setitem__(
+                    (0, pl.ds(r, 1)), jnp.where(better, v, row(ref)))
+                st(hit_ref, 1.0)
+                st(abs_ref, 0.0)
+                st(t_ref, min_t)
+                st(prim_ref, bp_g)
+                st(seg_ref, min_s)
+                st(sox_ref, pick(cox))
+                st(soy_ref, pick(coy))
+                st(soz_ref, pick(coz))
+                st(sdx_ref, pick(cdx))
+                st(sdy_ref, pick(cdy))
+                st(sdz_ref, pick(cdz))
+
+            if not blocked:
+                @pl.when(gate)
+                def _():
+                    bt, bp = scan_part(
+                        cox, coy, coz, cdx, cdy, cdz,
+                        jnp.zeros((8, 128), jnp.float32), tmax_eff,
+                        do_tris=do_tris)
+                    reduce_merge(bt, bp)
+            else:
+                # spheres (global, part 0) ride the shared window-tile pass
+                if S > 0:
+                    @pl.when((p == 0) & any_improv)
+                    def _():
+                        bt, bp = scan_part(
+                            cox, coy, coz, cdx, cdy, cdz,
+                            jnp.zeros((8, 128), jnp.float32), tmax_eff,
+                            do_tris=jnp.bool_(False))
+                        reduce_merge(bt, bp)
+
+                @pl.when(do_tris)
+                def _():
+                    _blocked_tris(
+                        hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
+                        sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref,
+                        sdz_ref, nisect_ref, ncull_ref,
+                        cl_ref, sup_ref, trow_ref, slab,
+                        cox, coy, coz, cdx, cdy, cdz, tmax_eff,
+                        r=r, w=w, p=p, P=P,
+                        cluster_size=cluster_size)
+
+            return (w + 1, improv_at(w + 1))
+
+        jax.lax.while_loop(win_cond, win_body,
+                           (jnp.int32(0), improv_at(jnp.int32(0))))
+        return carry
+
+    jax.lax.fori_loop(0, 8, subtile, 0)
+
+
+def _blocked_tris(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
+                  sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
+                  nisect_ref, ncull_ref, cl_ref, sup_ref, trow_ref, slab,
+                  cox, coy, coz, cdx, cdy, cdz, tmax_eff,
+                  *, r, w, p, P, cluster_size):
+    """Block-vectorized triangle sweep for one (sub-row, window, part).
+
+    Execution tile = 8 TRIANGLES (sublanes, one VMEM row each from
+    `trow_ref`) × 128 rays (lanes) against ONE chord segment — every
+    vector op is 1024 useful ray-triangle pairs, unlike the scalar
+    `tri_body` path whose windowed tiles spend 7/8 of each op on segments
+    that mostly don't cross the cluster. Gating stays window-level
+    (supercluster → cluster slab tests amortize over 8 segments); a
+    crossing cluster then executes only for the window segments whose
+    chords actually reach it, merging per segment in ascending order so
+    the first-event rule is exact.
+    """
+    n_blk = cluster_size // 8
+    i_sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    inv_x = 1.0 / cdx
+    inv_y = 1.0 / cdy
+    inv_z = 1.0 / cdz
+    zero8 = jnp.zeros((8, 128), jnp.float32)
+    rsel = (0, pl.ds(r, 1))
+
+    def seg_exec(k, s, reach):
+        if _ABLATE == "noexec":
+            return
+        pred = jnp.max(reach[s].astype(jnp.float32)) > 0.0
+
+        @pl.when(pred)
+        def _():
+            sl = lambda a: jax.lax.slice(a, (s, 0), (s + 1, 128))  # (1,128)
+            ox, oy, oz = sl(cox), sl(coy), sl(coz)
+            dxr, dyr, dzr = sl(cdx), sl(cdy), sl(cdz)
+            tmaxr = sl(tmax_eff)
+            nisect_ref[rsel] = nisect_ref[rsel] + cluster_size
+            bt = jnp.full((8, 128), BIG, jnp.float32)
+            bp = jnp.full((8, 128), -1, jnp.int32)
+            for b in range(n_blk):
+                base = k * cluster_size + b * 8
+                blk = trow_ref[pl.ds(base, 8), :]                  # (8,128)
+                col = lambda c: jax.lax.slice(blk, (0, c), (8, c + 1))
+                v0x, v0y, v0z = col(0), col(1), col(2)
+                e1x, e1y, e1z = col(3), col(4), col(5)
+                e2x, e2y, e2z = col(6), col(7), col(8)
+                valid = col(9) > 0.0
+                sx = ox - v0x                                      # (8,128)
+                sy = oy - v0y
+                sz = oz - v0z
+                s1x = dyr * e2z - dzr * e2y
+                s1y = dzr * e2x - dxr * e2z
+                s1z = dxr * e2y - dyr * e2x
+                s2x = sy * e1z - sz * e1y
+                s2y = sz * e1x - sx * e1z
+                s2z = sx * e1y - sy * e1x
+                denom = s1x * e1x + s1y * e1y + s1z * e1z
+                okd = denom != 0.0
+                inv = 1.0 / jnp.where(okd, denom, 1.0)
+                t = (s2x * e2x + s2y * e2y + s2z * e2z) * inv
+                b1 = (s1x * sx + s1y * sy + s1z * sz) * inv
+                b2 = (s2x * dxr + s2y * dyr + s2z * dzr) * inv
+                b0 = 1.0 - b1 - b2
+                ok = (okd & valid & (t >= 0.0) & (t <= tmaxr)
+                      & (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0))
+                t_m = jnp.where(ok, t, BIG)
+                closer = t_m < bt
+                bt = jnp.where(closer, t_m, bt)
+                bp = jnp.where(closer, base + i_sub, bp)
+            # reduce the 8 triangle sublanes → per-ray best (t, prim)
+            min_t = jnp.min(bt, axis=0, keepdims=True)            # (1,128)
+            on_t = (bt == min_t) & (bp >= 0)
+            p_m = jnp.where(on_t, bp, jnp.int32(1 << 30))
+            min_p = jnp.min(p_m, axis=0, keepdims=True)
+            has = min_p < jnp.int32(1 << 30)
+            s_glob = w * 8 + s
+            seg_r = seg_ref[rsel]
+            hit_r = hit_ref[rsel]
+            t_r = t_ref[rsel]
+            better = has & ((s_glob < seg_r)
+                            | ((s_glob == seg_r) & (hit_r > 0.0)
+                               & (min_t < t_r)))
+            st = lambda ref, v: ref.__setitem__(
+                rsel, jnp.where(better, v, ref[rsel]))
+            st(hit_ref, 1.0)
+            st(abs_ref, 0.0)
+            st(t_ref, min_t)
+            st(prim_ref, min_p + p * P)
+            st(seg_ref, s_glob)
+            st(sox_ref, ox)
+            st(soy_ref, oy)
+            st(soz_ref, oz)
+            st(sdx_ref, dxr)
+            st(sdy_ref, dyr)
+            st(sdz_ref, dzr)
+
+    def cluster_body(k, c):
+        reach = slab(cl_ref[k, 0], cl_ref[k, 1], cl_ref[k, 2],
+                     cl_ref[k, 3], cl_ref[k, 4], cl_ref[k, 5],
+                     cox, coy, coz, inv_x, inv_y, inv_z, zero8, tmax_eff)
+        ncull_ref[rsel] = ncull_ref[rsel] + 8
+        pred = jnp.max(reach.astype(jnp.float32)) > 0.0
+
+        def do(cc):
+            for s in range(8):
+                seg_exec(k, s, reach)
+            return cc
+
+        return jax.lax.cond(pred, do, lambda cc: cc, c)
+
+    def super_body(u, c):
+        reach = slab(sup_ref[u, 0], sup_ref[u, 1], sup_ref[u, 2],
+                     sup_ref[u, 3], sup_ref[u, 4], sup_ref[u, 5],
+                     cox, coy, coz, inv_x, inv_y, inv_z, zero8, tmax_eff)
+        ncull_ref[rsel] = ncull_ref[rsel] + 8
+        pred = jnp.max(reach.astype(jnp.float32)) > 0.0
+        return jax.lax.cond(
+            pred,
+            lambda cc: jax.lax.fori_loop(u * SUP, (u + 1) * SUP,
+                                         cluster_body, cc),
+            lambda cc: cc, c)
+
+    jax.lax.fori_loop(0, sup_ref.shape[0], super_body, jnp.int32(0))
 
 
 def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
@@ -64,17 +353,25 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                                      # (transposed: SMEM pads the minor dim
                                      # to 128 words, so rows must be dense)
             cl_ref,                  # (cpp,8) SMEM part: lo xyz, hi xyz, pad
+            sup_ref,                 # (spp,8) SMEM part: supercluster boxes
+            trow_ref,                # (P,128) VMEM part: row-per-triangle
+                                     # [v0 xyz, e1 xyz, e2 xyz, valid, 0...]
             sph_ref,                 # (S,4) SMEM: cx,cy,cz,r
             pbox_ref,                # (n_parts,8) SMEM: part lo/hi xyz, pad
             # outputs (1,8,128): merged best-event state across parts
             hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
             sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
+            # measured work counters (1,8,128) i32, accumulated across
+            # parts: primitive tests paid per lane (the reference's
+            # total_isects, bvh.h:140) and bbox slab tests paid per lane
+            nisect_ref, ncull_ref,
             chords,                  # VMEM scratch (n_chord,7,8,128)
             ltouch,                  # VMEM scratch (1,8,128) i32: last seg
                                      # whose chord touches the scene bbox
             *, curved: bool, n_seg: int, n_tri_rows: int,
-            cluster_size: int, n_parts: int):
-    P = tri_ref.shape[1]             # triangle rows in this part
+            cluster_size: int, n_parts: int, windowed: bool,
+            blocked: bool, part_rows: int):
+    P = part_rows                    # triangle rows in this part
     cpp = cl_ref.shape[0]            # clusters in this part
     S = sph_ref.shape[0]
     p = pl.program_id(1) if n_parts > 1 else 0
@@ -226,15 +523,33 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                          cl_ref[k, 3], cl_ref[k, 4], cl_ref[k, 5],
                          px, py, pz, inv_x, inv_y, inv_z, tmin, tmax)
             pred = jnp.max(reach.astype(jnp.float32)) > 0.0
+            ncull_ref[0] = ncull_ref[0] + 1
 
             def do(c):
+                nisect_ref[0] = nisect_ref[0] + cluster_size
+                if _ABLATE == "noexec":
+                    return c
                 return jax.lax.fori_loop(
                     k * cluster_size, (k + 1) * cluster_size, tri_body, c)
 
             return jax.lax.cond(pred, do, lambda c: c, carry)
 
+        def super_body(u, carry):
+            reach = slab(sup_ref[u, 0], sup_ref[u, 1], sup_ref[u, 2],
+                         sup_ref[u, 3], sup_ref[u, 4], sup_ref[u, 5],
+                         px, py, pz, inv_x, inv_y, inv_z, tmin, tmax)
+            pred = jnp.max(reach.astype(jnp.float32)) > 0.0
+            ncull_ref[0] = ncull_ref[0] + 1
+
+            def do(c):
+                return jax.lax.fori_loop(
+                    u * SUP, (u + 1) * SUP, cluster_body, c)
+
+            return jax.lax.cond(pred, do, lambda c: c, carry)
+
         def sph_body(si, carry):
             best_t, best_p = carry
+            nisect_ref[0] = nisect_ref[0] + 1
             cx = sph_ref[si, 0]
             cy = sph_ref[si, 1]
             cz = sph_ref[si, 2]
@@ -260,9 +575,10 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
 
         carry = (jnp.full((8, 128), BIG, jnp.float32),
                  jnp.full((8, 128), -1, jnp.int32))
+        n_sup = cpp // SUP
         carry = jax.lax.cond(
             do_tris,
-            lambda c: jax.lax.fori_loop(0, cpp, cluster_body, c),
+            lambda c: jax.lax.fori_loop(0, n_sup, super_body, c),
             lambda c: c, carry)
         if S > 0:
             # spheres are global: test them once, on part 0
@@ -351,6 +667,8 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             fin = jax.lax.while_loop(cond, body, init)
             end_seg, abs_f, last_t = fin[8], fin[9], fin[10]
             ltouch[0] = last_t
+            nisect_ref[0] = jnp.zeros((8, 128), jnp.int32)
+            ncull_ref[0] = jnp.zeros((8, 128), jnp.int32)
             # seed the merge state: absorption (or death) bounds the
             # first-event search; geometry must land strictly earlier.
             hit_ref[0] = f0
@@ -366,8 +684,19 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             sdz_ref[0] = dz
 
         # -------------------------------------------- phase 2 (all parts):
-        # loop segments while any lane can still improve on the merged
-        # best event; per segment one part-AABB test gates the clusters.
+        if windowed:
+            _phase2_windowed(
+                hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
+                sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
+                nisect_ref, ncull_ref, chords, ltouch, pbox_ref,
+                cl_ref, sup_ref, trow_ref, scan_part, slab,
+                p=p, P=P, S=S, n_seg=n_seg,
+                cluster_size=cluster_size, blocked=blocked)
+            return
+
+        # v2 layout: loop segments while any lane can still improve on the
+        # merged best event; per segment one part-AABB test gates the
+        # clusters (whole 1024-ray tile per gate).
         def improvable(s):
             """Per-lane: can segment s still improve the merged best?"""
             seg = seg_ref[0]
@@ -401,6 +730,7 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 pbox_ref[p, 3], pbox_ref[p, 4], pbox_ref[p, 5],
                 cox, coy, coz, 1.0 / cdx, 1.0 / cdy, 1.0 / cdz,
                 jnp.zeros((8, 128), jnp.float32), tmax_eff)
+            ncull_ref[0] = ncull_ref[0] + 1
             do_tris = jnp.max(part_reach.astype(jnp.float32)) > 0.0
             any_improv = jnp.max(
                 (tmax_eff >= 0.0).astype(jnp.float32)) > 0.0
@@ -441,11 +771,14 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             sdx_ref[0] = dx
             sdy_ref[0] = dy
             sdz_ref[0] = dz
+            nisect_ref[0] = jnp.zeros((8, 128), jnp.int32)
+            ncull_ref[0] = jnp.zeros((8, 128), jnp.int32)
 
         hitm = hit_ref[0] > 0.0
         cur_t = t_ref[0]
         tmax_eff = jnp.where(hitm, jnp.minimum(maxt_ref[0], cur_t),
                              maxt_ref[0])
+        ncull_ref[0] = ncull_ref[0] + 1
         part_reach = slab(
             pbox_ref[p, 0], pbox_ref[p, 1], pbox_ref[p, 2],
             pbox_ref[p, 3], pbox_ref[p, 4], pbox_ref[p, 5],
@@ -468,10 +801,15 @@ def pallas_supported(scene: SceneData) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("curved", "n_seg", "interpret"))
+    jax.jit, static_argnames=("curved", "n_seg", "interpret", "windowed",
+                              "blocked"))
 def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
                      rays: Rays, curved: bool, n_seg: int,
-                     interpret: bool = False):
+                     interpret: bool = False, windowed: bool = True,
+                     blocked: bool = True):
+    # the flat (curved=False) branch runs the scalar scan_part sweep and
+    # needs the SMEM triangle table — the blocked layout is curved-only
+    blocked = blocked and curved
     """Run the fused kernel over 1024-ray tiles; returns flat result
     arrays for the lane batch."""
     tile = 1024
@@ -479,14 +817,18 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
     n_pad = -(-n // tile) * tile
     g = n_pad // tile
     T = scene.n_tris
-    cs = scene.cluster_size
     # Pad the triangle table to a whole number of PART_TRIS-row parts; the
     # part index is the second (sequential) grid dimension, so one kernel
     # instance covers any scene size with the merge state resident in VMEM.
-    n_parts = max(1, -(-T // PART_TRIS))
-    T_pad = n_parts * PART_TRIS if n_parts > 1 else T
-    cpp = T_pad // n_parts // cs           # clusters per part
-    K = T_pad // cs
+    # blocked mode streams triangles as VMEM row-tables (4 MB/part) and
+    # needs no SMEM triangle part, so parts can be 4x larger — grid-step
+    # overhead (~10-16 us each, dominated by block DMA + pipeline sync)
+    # scales with tiles x parts and was the measured floor of the r4
+    # kernel (14 ms march-only on 64 tiles x 14 parts).
+    part_tris = (4 * PART_TRIS) if blocked else PART_TRIS
+    part_tris = int(_os.environ.get("RRT_PART_TRIS", part_tris))
+    n_parts = max(1, -(-T // part_tris))
+    T_pad = n_parts * part_tris if n_parts > 1 else T
     S = scene.sph_center.shape[0]
 
     def shape_r(a):
@@ -502,32 +844,75 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
         shape_r(rays.min_t), shape_r(rays.max_t),
     ]
     # SMEM tri rows: v0 | e1 | e2 | valid | pad
-    tri_tab = jnp.concatenate([
+    tri_rows = jnp.concatenate([
         jnp.asarray(scene.tri_v0, jnp.float32),
         jnp.asarray(scene.tri_v1 - scene.tri_v0, jnp.float32),
         jnp.asarray(scene.tri_v2 - scene.tri_v0, jnp.float32),
         (scene.tri_bsdf >= 0).astype(jnp.float32)[:, None],
         jnp.zeros((T, 2), jnp.float32),
     ], axis=1)                                        # (T, 12)
-    K0 = scene.cluster_lo.shape[0]
-    cl_tab = jnp.concatenate([
-        jnp.asarray(scene.cluster_lo, jnp.float32),
-        jnp.asarray(scene.cluster_hi, jnp.float32),
-        jnp.zeros((K0, 2), jnp.float32),
-    ], axis=1)                                        # (K0, 8)
     if T_pad > T:
-        tri_tab = jnp.pad(tri_tab, ((0, T_pad - T), (0, 0)))
-    tri_tab = tri_tab.T                               # (12, T_pad), dense
-    if K > K0:
-        # empty boxes (lo > hi) fail every slab test
-        empty = jnp.tile(
-            jnp.array([[BIG, BIG, BIG, -BIG, -BIG, -BIG, 0.0, 0.0]],
-                      jnp.float32), (K - K0, 1))
-        cl_tab = jnp.concatenate([cl_tab, empty], axis=0)
-    # per-part AABB = union of the part's cluster boxes (empty clusters'
-    # inverted boxes vanish under min/max union)
-    part_lo = cl_tab[:, 0:3].reshape(n_parts, cpp, 3).min(axis=1)
-    part_hi = cl_tab[:, 3:6].reshape(n_parts, cpp, 3).max(axis=1)
+        tri_rows = jnp.pad(tri_rows, ((0, T_pad - T), (0, 0)))
+    # each mode reads exactly one triangle layout; the other gets a tiny
+    # dummy so its DMA cost vanishes:
+    #   scalar sweep (v2/v3 + flat): SMEM (12, part) transposed table
+    #   blocked sweep (v4):          VMEM (part, 128) row-per-triangle
+    if blocked:
+        tri_tab = jnp.zeros((12, 8), jnp.float32)
+        trow_tab = jnp.pad(tri_rows, ((0, 0), (0, 116)))  # (T_pad, 128)
+    else:
+        tri_tab = tri_rows.T                          # (12, T_pad), dense
+        trow_tab = jnp.zeros((8, 128), jnp.float32)
+    # Kernel-level 3-level culling tables, derived from the triangle rows
+    # (independent of scene.cluster_size, which serves the XLA paths):
+    # CS_K-tri clusters and SUP-cluster superclusters. Finer clusters cut
+    # wasted Möller–Trumbore work; the supercluster level keeps the slab
+    # count from quadrupling in exchange (measured via the kernel's
+    # nisect/ncull counters).
+    live_t = (scene.tri_bsdf >= 0)[:, None]
+    tmin = jnp.where(live_t, jnp.minimum(
+        jnp.minimum(scene.tri_v0, scene.tri_v1), scene.tri_v2), BIG)
+    tmax = jnp.where(live_t, jnp.maximum(
+        jnp.maximum(scene.tri_v0, scene.tri_v1), scene.tri_v2), -BIG)
+    if T_pad > T:
+        tmin = jnp.concatenate(
+            [tmin, jnp.full((T_pad - T, 3), BIG, jnp.float32)])
+        tmax = jnp.concatenate(
+            [tmax, jnp.full((T_pad - T, 3), -BIG, jnp.float32)])
+    K = T_pad // CS_K
+    K_pad = -(-K // SUP) * SUP
+    cpp = K // n_parts              # real clusters per part
+    cpp_pad = K_pad // n_parts      # incl. padded (inverted-box) rows
+    spp = cpp_pad // SUP            # superclusters per part
+    cl_lo = tmin.reshape(K, CS_K, 3).min(axis=1)
+    cl_hi = tmax.reshape(K, CS_K, 3).max(axis=1)
+    if K_pad > K:
+        cl_lo = jnp.concatenate(
+            [cl_lo, jnp.full((K_pad - K, 3), BIG, jnp.float32)])
+        cl_hi = jnp.concatenate(
+            [cl_hi, jnp.full((K_pad - K, 3), -BIG, jnp.float32)])
+    sup_lo = cl_lo.reshape(K_pad // SUP, SUP, 3).min(axis=1)
+    sup_hi = cl_hi.reshape(K_pad // SUP, SUP, 3).max(axis=1)
+    # per-part AABB from the (pad-masked) triangle extents directly
+    part_lo = tmin.reshape(n_parts, T_pad // n_parts, 3).min(axis=1)
+    part_hi = tmax.reshape(n_parts, T_pad // n_parts, 3).max(axis=1)
+    # Empty (all-padding) boxes come out inverted (lo=+BIG, hi=-BIG) —
+    # and the min/max slab formulation is INSENSITIVE to inversion, so an
+    # inverted box passes every test (it brute-forced 260 pad clusters
+    # per segment at part_tris=8192 before this was caught). A point box
+    # at +BIG genuinely fails: its t-interval collapses to ±BIG, outside
+    # any chord's [0, tmax].
+    def _fail_empty(lo, hi):
+        bad = jnp.any(lo > hi, axis=1, keepdims=True)
+        return (jnp.where(bad, BIG, lo), jnp.where(bad, BIG, hi))
+
+    cl_lo, cl_hi = _fail_empty(cl_lo, cl_hi)
+    sup_lo, sup_hi = _fail_empty(sup_lo, sup_hi)
+    part_lo, part_hi = _fail_empty(part_lo, part_hi)
+    cl_tab = jnp.concatenate(
+        [cl_lo, cl_hi, jnp.zeros((K_pad, 2), jnp.float32)], axis=1)
+    sup_tab = jnp.concatenate(
+        [sup_lo, sup_hi, jnp.zeros((K_pad // SUP, 2), jnp.float32)], axis=1)
     pbox_tab = jnp.concatenate(
         [part_lo, part_hi, jnp.zeros((n_parts, 2), jnp.float32)], axis=1)
     sph_tab = jnp.concatenate([
@@ -563,21 +948,36 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
     smem = lambda shape: pl.BlockSpec(
         shape, lambda i, p: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
     part_rows = T_pad // n_parts
-    tri_spec = pl.BlockSpec((12, part_rows), lambda i, p: (0, p),
-                            memory_space=pltpu.SMEM)
-    cl_spec = pl.BlockSpec((cpp, 8), lambda i, p: (p, 0),
+    if blocked:
+        tri_spec = pl.BlockSpec((12, 8), lambda i, p: (0, 0),
+                                memory_space=pltpu.SMEM)
+    else:
+        tri_spec = pl.BlockSpec((12, part_rows), lambda i, p: (0, p),
+                                memory_space=pltpu.SMEM)
+    cl_spec = pl.BlockSpec((cpp_pad, 8), lambda i, p: (p, 0),
                            memory_space=pltpu.SMEM)
+    sup_spec = pl.BlockSpec((spp, 8), lambda i, p: (p, 0),
+                            memory_space=pltpu.SMEM)
+    if blocked:
+        trow_spec = pl.BlockSpec((part_rows, 128), lambda i, p: (p, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        trow_spec = pl.BlockSpec((8, 128), lambda i, p: (0, 0),
+                                 memory_space=pltpu.VMEM)
     pbox_spec = smem((n_parts, 8))
 
     out_shapes = (
         [jax.ShapeDtypeStruct((g, 8, 128), jnp.float32) for _ in range(3)]
         + [jax.ShapeDtypeStruct((g, 8, 128), jnp.int32)] * 2
         + [jax.ShapeDtypeStruct((g, 8, 128), jnp.float32) for _ in range(6)]
+        + [jax.ShapeDtypeStruct((g, 8, 128), jnp.int32)] * 2  # counters
     )
 
     kernel = functools.partial(
         _kernel, curved=curved, n_seg=n_seg, n_tri_rows=T_pad,
-        cluster_size=scene.cluster_size, n_parts=n_parts)
+        cluster_size=CS_K, n_parts=n_parts,
+        windowed=windowed and curved, blocked=blocked,
+        part_rows=part_rows)
 
     n_chord = n_seg if curved else 1
     outs = pl.pallas_call(
@@ -586,16 +986,18 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
         in_specs=(
             [smem((1, 16))]
             + [ray_spec] * 8
-            + [tri_spec, cl_spec, smem((S, 4)), pbox_spec]
+            + [tri_spec, cl_spec, sup_spec, trow_spec, smem((S, 4)),
+               pbox_spec]
         ),
-        out_specs=tuple(ray_spec for _ in range(11)),
+        out_specs=tuple(ray_spec for _ in range(13)),
         out_shape=tuple(out_shapes),
         scratch_shapes=[pltpu.VMEM((n_chord, 7, 8, 128), jnp.float32),
                         pltpu.VMEM((1, 8, 128), jnp.int32)],
         interpret=interpret,
-    )(bhp, *ray_ins, tri_tab, cl_tab, sph_tab, pbox_tab)
+    )(bhp, *ray_ins, tri_tab, cl_tab, sup_tab, trow_tab, sph_tab, pbox_tab)
 
-    (hit, absd, t, prim, seg, sox, soy, soz, sdx, sdy, sdz) = outs
+    (hit, absd, t, prim, seg, sox, soy, soz, sdx, sdy, sdz,
+     nisect, ncull) = outs
     cut = lambda a: a.reshape(-1)[:n]
     hit = cut(hit) > 0
     absd = (cut(absd) > 0) & ~hit
@@ -605,13 +1007,17 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
     t = jnp.where(hit, cut(t), 0.0)
     seg_o = jnp.stack([cut(sox), cut(soy), cut(soz)], axis=-1)
     seg_d = jnp.stack([cut(sdx), cut(sdy), cut(sdz)], axis=-1)
-    return (hit, absd, t, prim, cut(seg), seg_o, seg_d)
+    # measured per-lane work (real lanes only: padding occupies the tail)
+    stats = jnp.stack([jnp.sum(cut(nisect), dtype=jnp.float32),
+                       jnp.sum(cut(ncull), dtype=jnp.float32)])
+    return (hit, absd, t, prim, cut(seg), seg_o, seg_d, stats)
 
 
 def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
                  rays: Rays, n_seg: int,
                  interpret: bool = False,
-                 return_seg: bool = False) -> Hit:
+                 return_seg: bool = False,
+                 return_stats: bool = False) -> Hit:
     """Full closest-hit query via the fused kernel, shading payload rebuilt
     outside (barycentrics re-derived for the winning triangle).
 
@@ -652,8 +1058,16 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
                   + (flat_rays.d[:, 2] < 0).astype(jnp.int32))
         perm = jnp.argsort(octant * (1 << 21) + m)
         flat_rays = jax.tree_util.tree_map(lambda a: a[perm], flat_rays)
-    hit, absd, t, prim, seg, seg_o, seg_d = pallas_trace_raw(
-        scene, bh, flat_rays, curved, n_seg, interpret)
+    # kernel layout (RRT_KERNEL): v3 = segment-windowed gating with the
+    # scalar-triangle sweep (default — fastest measured; dense full-tile
+    # op streams pipeline at ~1 op/cycle); v4 = windowed gating +
+    # block-vectorized 8-tri sweep (fewer vector ops but loses more to
+    # small-op pipeline friction); v2 = per-segment full-tile
+    mode = os.environ.get("RRT_KERNEL", "v3")
+    windowed = mode != "v2"
+    blocked = mode not in ("v2", "v3")
+    hit, absd, t, prim, seg, seg_o, seg_d, kstats = pallas_trace_raw(
+        scene, bh, flat_rays, curved, n_seg, interpret, windowed, blocked)
     if sort:
         inv_perm = jnp.argsort(perm)
         unp = lambda a: a[inv_perm]
@@ -685,6 +1099,12 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
         h = jax.tree_util.tree_map(
             lambda a: a.reshape(flat_shape + a.shape[1:]), h)
         seg = seg.reshape(flat_shape)
+    out = (h,)
     if return_seg:
-        return h, seg
-    return h
+        out = out + (seg,)
+    if return_stats:
+        # [prim tests paid, bbox slab tests paid] summed over real lanes —
+        # the measured analog of the reference's total_isects (bvh.h:140,
+        # reported at pathtracer.cpp:637-638)
+        out = out + (kstats,)
+    return out if len(out) > 1 else h

@@ -34,6 +34,7 @@ import numpy as np
 
 from rrt_tpu.render import film
 from rrt_tpu.render.integrator import est_radiance
+from rrt_tpu.render.integrator import _mask_rays as _mask_lanes
 from rrt_tpu.scene.camera import Camera
 from rrt_tpu.types import BlackHoleParams, Rays, SceneData
 from rrt_tpu.utils.config import RenderConfig
@@ -65,7 +66,7 @@ class Renderer:
         self.cfg = cfg
         self.bh = make_black_hole(cfg)
         self.sharding = sharding
-        self._pass_fns = {}  # (samples-per-pass k, region) -> jitted pass fn
+        self._pass_fns = {}  # (samples-per-pass k, rw, rh) -> jitted fn
         self._stop = False
         from rrt_tpu.utils.stats import PhaseTimer
         self.timer = PhaseTimer()   # compile / passes / io phases
@@ -75,20 +76,25 @@ class Renderer:
         `stop()` → `continueRaytracing=false`, pathtracer.cpp:180-202)."""
         self._stop = True
 
-    def _pass_fn(self, k: int, region):
-        fn = self._pass_fns.get((k, region))
+    def _pass_fn(self, k: int, rw: int, rh: int):
+        """One compiled program serves every pass of the render: the
+        region/band origin and the number of live samples are dynamic
+        arguments, so cells, row bands and the tail pass all share it
+        (no per-shape recompiles)."""
+        fn = self._pass_fns.get((k, rw, rh))
         if fn is None:
             fn = jax.jit(
-                functools.partial(self._sample_pass, k=k, region=region),
+                functools.partial(self._sample_pass, k=k, rw=rw, rh=rh),
                 donate_argnums=(0,))
-            self._pass_fns[(k, region)] = fn
+            self._pass_fns[(k, rw, rh)] = fn
         return fn
 
     # -------------------------------------------------------- pass kernel
 
-    def _rays_for(self, xy_jitter, key, k: int, region):
+    def _rays_for(self, xy_jitter, key, k: int, rw: int, rh: int, origin):
         cfg, cam = self.cfg, self.camera
-        x0, y0, rw, rh = region
+        x0 = origin[0].astype(jnp.float32)
+        y0 = origin[1].astype(jnp.float32)
         ys, xs = jnp.meshgrid(
             y0 + jnp.arange(rh, dtype=jnp.float32),
             x0 + jnp.arange(rw, dtype=jnp.float32), indexing="ij")
@@ -107,42 +113,56 @@ class Renderer:
             return cam.generate_rays_thin_lens(xy, rnd_r, rnd_th)
         return cam.generate_rays(xy)
 
-    def _sample_pass(self, acc, key, sample_idx, k: int, region):
-        """Trace `k` jittered samples for every pixel in ONE megabatch
-        (k·N lanes), masked-accumulate.
+    def _sample_pass(self, acc, key, sample_idx, n_valid, origin,
+                     k: int, rw: int, rh: int):
+        """Trace `k` jittered samples for every pixel of a rw×rh window at
+        `origin` (dynamic (x0, y0)) in ONE megabatch (k·N lanes),
+        masked-accumulate.
 
         acc = (radiance_sum (N,3), s1, s2, count, done) with N = rw·rh.
-        `sample_idx` is the first sample index of the pass; when adaptive,
-        `k` divides samples_per_batch so convergence tests still happen
-        exactly at batch boundaries (part1_code.cpp:147-159).
+        `sample_idx` is the first sample index of the pass; `n_valid ≤ k`
+        (dynamic) is how many of the k samples are live — the tail pass
+        runs the same program with its surplus samples masked out instead
+        of compiling a second, smaller one. When adaptive, k divides
+        samples_per_batch so convergence tests still happen exactly at
+        batch boundaries (part1_code.cpp:147-159).
         """
         cfg = self.cfg
         rad_sum, s1, s2, count, done = acc
         k_jit, k_lens, k_rad = jax.random.split(key, 3)
-        n = region[2] * region[3]
+        n = rw * rh
         if cfg.ns_aa == 1:
             jitter = jnp.full((n, 2), 0.5, jnp.float32)
         else:
             jitter = jax.random.uniform(k_jit, (k * n, 2), jnp.float32)
-        rays = self._rays_for(jitter, k_lens, k, region)
+        rays = self._rays_for(jitter, k_lens, k, rw, rh, origin)
+        # done pixels (converged under adaptive sampling, or off-frame
+        # band padding) still occupy lanes but their camera rays are
+        # terminated immediately — after the kernel's lane sort they pack
+        # into tiles the traversal skips, so convergence actually saves
+        # device time, not just accumulation.
+        active = ~done
+        valid_k = jnp.arange(k) < n_valid                    # (k,)
+        lane_live = jnp.tile(active, (k,)) & jnp.repeat(valid_k, n)
+        rays = _mask_lanes(rays, lane_live, self.bh)
         if self.sharding is not None:
             rays = jax.lax.with_sharding_constraint(rays, self.sharding)
         L = est_radiance(self.scene, self.bh, rays, cfg, k_rad)
         L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
         L = L.reshape(k, n, 3)
+        L = jnp.where(valid_k[:, None, None], L, 0.0)
 
-        active = ~done
         rad_sum = rad_sum + jnp.where(active[:, None], L.sum(0), 0.0)
         illum = (0.2126 * L[..., 0] + 0.7152 * L[..., 1]
                  + 0.0722 * L[..., 2])                       # (k, n)
         s1 = s1 + jnp.where(active, illum.sum(0), 0.0)
         s2 = s2 + jnp.where(active, (illum * illum).sum(0), 0.0)
-        count = count + k * active.astype(jnp.int32)
+        count = count + n_valid * active.astype(jnp.int32)
 
         if cfg.adaptive:
             # convergence test at batch boundaries (part1_code.cpp:147-159):
             # i+1 = count, avg = s1/(i+1), sd² = (s2 − avg·s1)/i
-            at_batch = (sample_idx + k) % cfg.samples_per_batch == 0
+            at_batch = (sample_idx + n_valid) % cfg.samples_per_batch == 0
             i1 = count.astype(jnp.float32)
             avg = s1 / jnp.maximum(i1, 1.0)
             var = (s2 - avg * s1) / jnp.maximum(i1 - 1.0, 1.0)
@@ -153,6 +173,66 @@ class Renderer:
 
         return (rad_sum, s1, s2, count, done)
 
+    # -------------------------------------------------------- dispatch plan
+
+    def _dispatch_plan(self, n: int, rw: int, rh: int):
+        """Bound per-dispatch device work (BASELINE.md Heavy-config: the
+        relay kills single dispatches past a few hundred seconds — and a
+        bounded dispatch is good hygiene regardless).
+
+        Cost model per pass: `calls` sequential trace invocations at ALPHA
+        seconds fixed cost each, plus BETA seconds per traced
+        lane-segment. Returns (k samples/pass, band_rows, n_bands): k is
+        capped so one whole-window pass fits `cfg.max_dispatch_seconds`;
+        if even k=1 does not fit, the frame is split into row bands
+        rendered as separate dispatches per pass.
+        """
+        cfg = self.cfg
+        k = max(1, min(cfg.ns_aa, cfg.max_pass_lanes // max(n, 1)))
+        if cfg.adaptive:
+            while cfg.samples_per_batch % k != 0:
+                k -= 1
+        T = float(getattr(cfg, "max_dispatch_seconds", 0.0) or 0.0)
+        if T <= 0.0:
+            return k, rh, 1
+        from rrt_tpu.physics import schwarzschild as ss
+        from rrt_tpu.render.lights import is_delta_light
+        n_seg = ss.n_segments(cfg.black_hole.delta_theta) \
+            if cfg.black_hole.enabled else 1
+        S = sum(
+            1 if is_delta_light(self.scene.lights, i) else cfg.ns_area_light
+            for i in range(len(self.scene.lights.kind_host)))
+        if cfg.illum == 0:           # NORMAL: one camera trace, no shading
+            depth_eff = 0
+        elif cfg.illum == 1:         # DIRECT: one NEE round
+            depth_eff = 1
+        else:
+            depth_eff = max(1, cfg.max_ray_depth)
+        nee_traces = -(-S // max(1, cfg.nee_chunk)) if S else 0
+        calls = 1 + depth_eff * (nee_traces + 1)
+        lane_cost = n_seg * (1 + depth_eff * (S + 1))
+        alpha = float(os.environ.get("RRT_DISPATCH_ALPHA", "0.5"))
+        beta = float(os.environ.get("RRT_DISPATCH_BETA", "2.5e-8"))
+        fixed = calls * alpha
+
+        def est(kk, lanes):
+            return fixed + kk * lanes * lane_cost * beta
+
+        while k > 1 and est(k, n) > T:
+            k -= 1
+            if cfg.adaptive:
+                while cfg.samples_per_batch % k != 0:
+                    k -= 1
+        if est(1, n) <= T or rh <= 1:
+            return k, rh, 1
+        # row bands: shrink the per-dispatch lane count; the fixed
+        # per-call cost is irreducible, so aim the variable term at
+        # whatever budget headroom remains (at least a quarter of T)
+        room = max(T - fixed, 0.25 * T)
+        B = min(rh, max(2, int(-(-(n * lane_cost * beta) // room))))
+        band_rows = -(-rh // B)
+        return 1, band_rows, -(-rh // band_rows)
+
     # -------------------------------------------------------- checkpoints
 
     def _fingerprint(self, region):
@@ -160,22 +240,50 @@ class Renderer:
         return np.array([cfg.width, cfg.height, cfg.ns_aa, cfg.seed,
                          *region], np.int64)
 
-    def save_checkpoint(self, path: str, acc, s: int, region):
-        rad_sum, s1, s2, count, done = (np.asarray(a) for a in acc)
+    def save_checkpoint(self, path: str, accs, s: int, region):
+        """Persist the (band-concatenated, unpadded) accumulator."""
+        n = region[2] * region[3]
+        cat = [np.concatenate([np.asarray(a[i]) for a in accs])[:n]
+               for i in range(5)]
+        rad_sum, s1, s2, count, done = cat
         tmp = path + ".tmp.npz"
         np.savez(tmp, rad_sum=rad_sum, s1=s1, s2=s2, count=count, done=done,
                  s=np.int64(s), fingerprint=self._fingerprint(region))
         os.replace(tmp, path)
 
-    def load_checkpoint(self, path: str, region):
+    def load_checkpoint(self, path: str, region, band_rows=None,
+                        n_bands=1):
+        if band_rows is None:
+            band_rows = region[3]
         z = np.load(path)
         if not np.array_equal(z["fingerprint"], self._fingerprint(region)):
             raise ValueError(
                 f"checkpoint {path} does not match this render config")
-        acc = (jnp.asarray(z["rad_sum"]), jnp.asarray(z["s1"]),
-               jnp.asarray(z["s2"]), jnp.asarray(z["count"]),
-               jnp.asarray(z["done"]))
-        return acc, int(z["s"])
+        acc = (z["rad_sum"], z["s1"], z["s2"], z["count"], z["done"])
+        accs = self._split_bands(acc, region, band_rows, n_bands)
+        return accs, int(z["s"])
+
+    def _split_bands(self, acc_np, region, band_rows, n_bands):
+        """(n,)-lane host arrays → per-band device accumulators (padded
+        rows appended to the last band, marked done)."""
+        rw, rh = region[2], region[3]
+        n = rw * rh
+        m = band_rows * rw
+        pad = n_bands * m - n
+        accs = []
+        for b in range(n_bands):
+            sl = slice(b * m, min((b + 1) * m, n))
+            parts = []
+            for i, a in enumerate(acc_np):
+                seg = np.asarray(a[sl])
+                if seg.shape[0] < m:
+                    fill = np.ones if i == 4 else np.zeros  # pads are done
+                    seg = np.concatenate(
+                        [seg, fill((m - seg.shape[0],) + seg.shape[1:],
+                                   seg.dtype)])
+                parts.append(jnp.asarray(seg))
+            accs.append(tuple(parts))
+        return accs
 
     # -------------------------------------------------------- driver
 
@@ -199,84 +307,87 @@ class Renderer:
         region = tuple(int(v) for v in region)
         x0, y0, rw, rh = region
         n = rw * rh
+        # samples per pass + row-band split, bounded per dispatch.
+        # NOTE: the plan must depend only on config+scene — per-(pass,band)
+        # PRNG keys derive from (pass first-sample index, band index), so
+        # resume bit-matches an uninterrupted render only if the partition
+        # is identical. Checkpoints/previews/stops land on pass boundaries.
+        k, band_rows, n_bands = self._dispatch_plan(n, rw, rh)
+        m = band_rows * rw                  # lanes per band dispatch
         s = 0
-        acc = None
+        accs = None
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
-            acc, s = self.load_checkpoint(checkpoint_path, region)
-        if acc is None:
-            acc = (
-                jnp.zeros((n, 3), jnp.float32),
-                jnp.zeros(n, jnp.float32),
-                jnp.zeros(n, jnp.float32),
-                jnp.zeros(n, jnp.int32),
-                jnp.zeros(n, bool),
-            )
+            accs, s = self.load_checkpoint(
+                checkpoint_path, region, band_rows, n_bands)
+        if accs is None:
+            zero = (np.zeros((n, 3), np.float32), np.zeros(n, np.float32),
+                    np.zeros(n, np.float32), np.zeros(n, np.int32),
+                    np.zeros(n, bool))
+            accs = self._split_bands(zero, region, band_rows, n_bands)
         base = jax.random.key(cfg.seed)
-        # samples per pass: fill the chip with up to max_pass_lanes lanes;
-        # under adaptive sampling k must divide samples_per_batch so the
-        # 1.96σ test lands exactly on batch boundaries
-        # NOTE: k must depend only on the config — per-pass PRNG keys are
-        # derived from the pass's first sample index, so resume bit-matches
-        # an uninterrupted render only if the pass partition is identical.
-        # Checkpoints/previews/stops land on pass boundaries.
-        k = max(1, min(cfg.ns_aa, cfg.max_pass_lanes // max(n, 1)))
-        if cfg.adaptive:
-            while cfg.samples_per_batch % k != 0:
-                k -= 1
         self._stop = False
         cancelled = False
         try:
             while s < cfg.ns_aa:
                 ks = min(k, cfg.ns_aa - s)
-                first = (ks, region) not in self._pass_fns
+                first = (k, rw, band_rows) not in self._pass_fns
                 ph = "compile+first-pass" if first else "passes"
+                fn = self._pass_fn(k, rw, band_rows)
                 with self.timer.phase(ph):
-                    acc = self._pass_fn(ks, region)(
-                        acc, jax.random.fold_in(base, s),
-                        jnp.asarray(s, jnp.int32))
+                    for b in range(n_bands):
+                        kb = jax.random.fold_in(
+                            jax.random.fold_in(base, s), b)
+                        origin = jnp.array(
+                            [x0, y0 + b * band_rows], jnp.int32)
+                        accs[b] = fn(accs[b], kb, jnp.asarray(s, jnp.int32),
+                                     jnp.asarray(ks, jnp.int32), origin)
                     if first:
-                        jax.block_until_ready(acc)
+                        jax.block_until_ready(accs[0])
                 s += ks
                 if cfg.adaptive and s % cfg.samples_per_batch == 0:
-                    if bool(jnp.all(acc[4])):
+                    if all(bool(jnp.all(a[4])) for a in accs):
                         break
                 if progress is not None:
                     progress(s, cfg.ns_aa)
                 if checkpoint_path and checkpoint_every \
                         and s // checkpoint_every > (s - ks) // checkpoint_every:
-                    self.save_checkpoint(checkpoint_path, acc, s, region)
+                    self.save_checkpoint(checkpoint_path, accs, s, region)
                 if preview_path and preview_every and s < cfg.ns_aa \
                         and s // preview_every > (s - ks) // preview_every:
-                    self._write_preview(preview_path, acc, region)
+                    self._write_preview(preview_path, accs, region)
                 if (stop_after is not None and s >= stop_after) \
                         or self._stop:
                     cancelled = True
                     break
         except KeyboardInterrupt:
             # the input accumulator was donated to the in-flight pass; the
-            # pass result `acc` may or may not have materialized — save
+            # pass result may or may not have materialized — save
             # best-effort and report the interruption either way
             cancelled = True
         if cancelled and checkpoint_path:
             try:
-                self.save_checkpoint(checkpoint_path, acc, s, region)
+                self.save_checkpoint(checkpoint_path, accs, s, region)
             except Exception:
                 pass  # donated/deleted buffers: keep the last periodic save
-        rad_sum, _, _, count, _ = acc
         with self.timer.phase("passes"):    # drain in-flight device work
-            count = np.asarray(count).reshape(rh, rw)
-        hdr = (np.asarray(rad_sum).reshape(rh, rw, 3)
+            rad_sum = np.concatenate(
+                [np.asarray(a[0]) for a in accs])[:n]
+            count = np.concatenate(
+                [np.asarray(a[3]) for a in accs])[:n].reshape(rh, rw)
+        hdr = (rad_sum.reshape(rh, rw, 3)
                / np.maximum(count[..., None], 1))
         self.last_sample_count = count
         self.samples_done = s
         self.cancelled = cancelled
         return hdr, count
 
-    def _write_preview(self, path: str, acc, region):
-        rad_sum, _, _, count, _ = acc
+    def _write_preview(self, path: str, accs, region):
         x0, y0, rw, rh = region
-        count_np = np.asarray(count).reshape(rh, rw)
-        hdr = (np.asarray(rad_sum).reshape(rh, rw, 3)
+        n = rw * rh
+        rad_sum = np.concatenate([np.asarray(a[0]) for a in accs])[:n]
+        count_np = np.concatenate(
+            [np.asarray(a[3]) for a in accs])[:n].reshape(rh, rw)
+        hdr = (rad_sum.reshape(rh, rw, 3)
                / np.maximum(count_np[..., None], 1))
         film.save_image(path, hdr)
 

@@ -89,6 +89,12 @@ class RenderConfig:
     # (light, sample) pairs stack into one occlusion trace; cap the stacked
     # axis at this many entries per trace and lax.map over chunks instead.
     nee_chunk: int = 16
+    # per-dispatch wall budget (seconds): the renderer caps samples/pass
+    # and splits frames into row bands so one device dispatch stays under
+    # this estimate (BASELINE.md Heavy-config: the relay kills dispatches
+    # past a few hundred seconds). 0 disables the bound. The cost-model
+    # constants are env-tunable (RRT_DISPATCH_ALPHA / RRT_DISPATCH_BETA).
+    max_dispatch_seconds: float = 120.0
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

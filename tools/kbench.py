@@ -70,6 +70,16 @@ def main():
         print(f"{name}: {n} rays in {dt*1e3:.1f} ms -> "
               f"{n/dt/1e6:.2f} M curved rays/s  (hits={hits}, "
               f"first-call {tc:.1f}s)")
+        if backend == "pallas":
+            # measured work counters (reference analog: avg isect
+            # tests/ray, pathtracer.cpp:637-638)
+            from rrt_tpu.ops.trace_kernel import pallas_trace
+            _, st = jax.jit(
+                lambda rr: pallas_trace(scene, bh, rr, n_seg=63,
+                                        return_stats=True))(r)
+            ni, nc = (float(v) for v in st)
+            print(f"  measured: {ni/n:.0f} prim tests/ray, "
+                  f"{nc/n:.0f} bbox tests/ray (reference: 112 tests/ray)")
 
 
 if __name__ == "__main__":
