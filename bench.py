@@ -80,6 +80,13 @@ def main():
     backend = "pallas" if probe_pallas() else "xla"
 
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("RRT_JAX_CACHE",
+                                         "/root/.cache/rrt_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from rrt_tpu.scene.build import load_scene
     from rrt_tpu.render.renderer import Renderer
     from rrt_tpu.utils.config import RenderConfig

@@ -29,6 +29,7 @@ There is no interactive OpenGL viewer: like `-f`, rendering is headless
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -83,8 +84,23 @@ def build_argparser() -> argparse.ArgumentParser:
                         "BASE_accel.png (per-pixel touched-cluster "
                         "heatmap) — the BVH-visualizer analog "
                         "(pathtracer.cpp:330-423)")
+    p.add_argument("--dump-rays", default=None, metavar="BASE",
+                   help="write BASE_raylog.npz + hit/cost/segment PNG "
+                        "panels for every camera ray (winning segment, "
+                        "segments marched, clusters touched, hit/miss/"
+                        "absorbed) — the rayLog + ray-drawing analog "
+                        "(pathtracer.cpp:395-418)")
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint if it exists")
+    p.add_argument("--serve", type=int, nargs="?", const=8000, default=None,
+                   metavar="PORT",
+                   help="serve a live auto-refreshing progressive preview "
+                        "over HTTP while rendering (0 = ephemeral port) — "
+                        "the interactive-viewer analog "
+                        "(CGL/src/viewer.cpp:142-170)")
+    p.add_argument("--serve-wait", action="store_true",
+                   help="with --serve: keep serving after the render "
+                        "finishes until Ctrl-C")
     return p
 
 
@@ -117,6 +133,19 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args)
 
+    # persistent XLA compilation cache: a warm second run skips the
+    # multi-minute first compile (Mosaic remote compiles on the tunnel
+    # environment still miss it — BASELINE.md r3 notes — but every XLA
+    # program hits)
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("RRT_JAX_CACHE",
+                                         "/root/.cache/rrt_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     env = None
     if args.envmap:
         from rrt_tpu.io.exr import read_exr
@@ -148,22 +177,58 @@ def main(argv=None):
               f".png (touched clusters per camera ray: "
               f"mean {counts.mean():.1f}, max {int(counts.max())})")
 
+    if args.dump_rays:
+        from rrt_tpu.render.renderer import make_black_hole
+        from rrt_tpu.utils.ray_debug import dump_ray_log
+        from rrt_tpu.physics.schwarzschild import n_segments
+        bh = make_black_hole(cfg)
+        ns = n_segments(cfg.black_hole.delta_theta) \
+            if cfg.black_hole.enabled else 1
+        log = dump_ray_log(scene, bh, camera, cfg.width, cfg.height,
+                           args.dump_rays, n_seg=ns)
+        hits = int((log["outcome"] == 1).sum())
+        absd = int((log["outcome"] == 2).sum())
+        print(f"[PathTracer] Ray log: {args.dump_rays}_raylog.npz (+3 "
+              f"PNGs); {hits} hit / {absd} absorbed / "
+              f"{log['outcome'].size - hits - absd} escaped; touched "
+              f"clusters mean {log['clusters'].mean():.1f} "
+              f"max {int(log['clusters'].max())}")
+
     renderer = Renderer(scene, camera, cfg)
+
+    # --serve: live progressive display over HTTP (the interactive
+    # viewer analog, CGL/src/viewer.cpp:142-170 / pathtracer.cpp:156-178)
+    server = None
+    preview_path = args.preview
+    if args.serve is not None:
+        from rrt_tpu.utils.serve import PreviewServer
+        if preview_path is None:
+            preview_path = args.outfile + ".preview.png"
+        server = PreviewServer(preview_path, args.serve).start()
+        server.update(0, cfg.ns_aa)
+        print(f"[PathTracer] Live preview: http://localhost:{server.port}/")
 
     def progress(done, total):
         pct = 100.0 * done / total
         sys.stdout.write(f"\r[PathTracer] Rendering... {pct:.0f}%")
         sys.stdout.flush()
+        if server is not None:
+            server.update(done, total)
 
     t0 = time.time()
     renderer.render_to_file(
         args.outfile, cell=args.p, progress=progress,
-        preview_path=args.preview,
-        preview_every=args.preview_every if args.preview else None,
+        preview_path=preview_path,
+        preview_every=(args.preview_every
+                       if preview_path is not None else None),
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every if args.checkpoint else None,
         resume=args.resume)
     dt = time.time() - t0
+    if server is not None:
+        import shutil
+        shutil.copyfile(args.outfile, preview_path)
+        server.update(renderer.samples_done, cfg.ns_aa, done=True)
     if getattr(renderer, "cancelled", False):
         print(f"\n[PathTracer] Rendering cancelled after "
               f"{renderer.samples_done} samples/pixel ({dt:.2f} sec)"
@@ -173,6 +238,16 @@ def main(argv=None):
         print(f"\n[PathTracer] Rendering complete, {dt:.2f} sec")
     print(renderer.stats(dt).report())
     print(f"[PathTracer] Saved to {args.outfile}")
+    if server is not None:
+        if args.serve_wait:
+            print(f"[PathTracer] Still serving on "
+                  f"http://localhost:{server.port}/ (Ctrl-C to exit)")
+            try:
+                while True:
+                    time.sleep(1.0)
+            except KeyboardInterrupt:
+                pass
+        server.stop()
     return 0
 
 

@@ -490,13 +490,19 @@ def _pallas_eligible(scene: SceneData) -> bool:
 def trace(scene: SceneData, bh: BlackHoleParams, rays: Rays,
           chunk: int = 512, seg_group: int = 9,
           early_exit: bool = True, n_seg: int = None,
-          backend: str = "auto", accel: str = "auto") -> Hit:
+          backend: str = "auto", accel: str = "auto",
+          return_stats: bool = False):
     """Dispatch on the (static) curvature flag and backend.
 
     backend: "pallas" = fused on-chip kernel (TPU, SMEM-sized scenes),
     "xla" = composed XLA ops (any platform, reverse-differentiable),
     "auto" = pallas when eligible. The differentiable path must use "xla"
     (the kernel has no custom VJP yet).
+
+    return_stats=True additionally returns a (2,) f32 of measured work
+    counters [primitive tests paid, bbox slab tests paid] summed over
+    lanes — the reference's total_isects analog (bvh.h:140). Only the
+    Pallas kernel measures them; the XLA paths report zeros.
     """
     if backend == "auto":
         backend = "pallas" if _pallas_eligible(scene) else "xla"
@@ -505,15 +511,21 @@ def trace(scene: SceneData, bh: BlackHoleParams, rays: Rays,
         if n_seg is None:
             n_seg = ss.n_segments(float(bh.delta_theta)) if (
                 bh is not None and bh.enabled) else 1
-        return pallas_trace(scene, bh, rays, n_seg=n_seg)
+        return pallas_trace(scene, bh, rays, n_seg=n_seg,
+                            return_stats=return_stats)
     if bh is not None and bh.enabled:
         if n_seg is None:
             n_seg = ss.n_segments(float(bh.delta_theta))
         if early_exit:
-            return trace_curved_marched(scene, bh, rays, n_seg, chunk, accel)
-        return trace_curved(scene, bh, rays, seg_group, chunk, early_exit,
-                            n_seg, accel)
-    return trace_flat(scene, rays, chunk, accel)
+            h = trace_curved_marched(scene, bh, rays, n_seg, chunk, accel)
+        else:
+            h = trace_curved(scene, bh, rays, seg_group, chunk, early_exit,
+                             n_seg, accel)
+    else:
+        h = trace_flat(scene, rays, chunk, accel)
+    if return_stats:
+        return h, jnp.zeros(2, jnp.float32)
+    return h
 
 
 def trace_with_seg(scene: SceneData, bh: BlackHoleParams, rays: Rays,
@@ -637,7 +649,7 @@ def trace_diff(scene: SceneData, bh: BlackHoleParams, rays: Rays,
 def occluded(scene: SceneData, bh: BlackHoleParams, rays: Rays,
              chunk: int = 512, seg_group: int = 9,
              early_exit: bool = True, n_seg: int = None,
-             backend: str = "auto") -> jnp.ndarray:
+             backend: str = "auto", return_stats: bool = False):
     """Shadow query: does `bvh->intersect(ray)` report a hit?
 
     Note the reference quirks this inherits: in curved mode the shadow
@@ -650,6 +662,9 @@ def occluded(scene: SceneData, bh: BlackHoleParams, rays: Rays,
     usable under `jax.grad` (visibility gradients are out of scope).
     """
     sg = lambda t: jax.tree_util.tree_map(jax.lax.stop_gradient, t)
-    h = trace(sg(scene), sg(bh), sg(rays), chunk, seg_group, early_exit,
-              n_seg, backend)
-    return h.hit
+    out = trace(sg(scene), sg(bh), sg(rays), chunk, seg_group, early_exit,
+                n_seg, backend, return_stats=return_stats)
+    if return_stats:
+        h, st = out
+        return h.hit, st
+    return out.hit

@@ -6,7 +6,7 @@ The XLA version streams (rays × tris) intermediates through HBM once per
 segment group (~63× a flat trace). Here one kernel invocation marches a
 1024-ray tile through all ≤⌈2π/Δθ⌉ segments.
 
-Layout / culling design (v2):
+Layout / culling design:
 
   * each per-ray quantity is one FULL (8,128) register tile — every vector
     op runs at native VPU width;
@@ -15,15 +15,26 @@ Layout / culling design (v2):
     table; absorption is geometry-independent, so the first-absorption
     segment is resolved here too and seeds the merge state;
   * triangles are Morton-ordered (`geometry/clusters.py`) and split into
-    SMEM-resident parts of PART_TRIS rows; the part index is a sequential
-    grid dimension. Per (part, segment) a single PART-level AABB slab test
-    gates the per-cluster loop, and each cluster AABB gates its triangle
-    loop — three-level dense culling with zero divergence;
+    parts of PART_TRIS rows; the part index is a sequential grid
+    dimension. Culling is 4-level dense (part AABB → SUP-cluster
+    supercluster → CS_K-tri cluster → triangle), with all box tables in
+    SMEM, derived on device from the triangle rows;
+  * traversal layout (RRT_KERNEL): the default v3 `_phase2_windowed`
+    tiles every culling/intersection op over 8 CONSECUTIVE CHORD SEGMENTS
+    (sublanes) × 128 rays (lanes) — fine 128-ray culling unions at full
+    VPU width, with per-128-ray-row early exit; v2 keeps the original one
+    -segment × 1024-ray tiles; v4 additionally swaps the scalar triangle
+    broadcast for 8-triangles-on-sublanes blocks read from a VMEM row
+    table (fewer vector ops, but measured slower: many small gated ops
+    pipeline worse than v3's dense uniform streams);
   * the merged best event (segment index, then chord t) lives in the
     VMEM-resident output blocks across the part dimension, so every part
     bounds its segment loop by the best event found so far by ANY part
     (and by absorption): a tile whose rays all resolve in the first few
-    chords never marches the remaining ~60 segments against any part.
+    chords never marches the remaining ~60 segments against any part;
+  * two (8,128) i32 outputs count primitive and bbox slab tests actually
+    paid per lane — the measured analog of the reference's total_isects
+    (bvh.h:140), surfaced via `return_stats` up to `Renderer.stats()`.
 
 Semantics match `bvh.cpp:103-113` exactly: chords carry their own
 [0, len] ranges, event-horizon absorption beats same-segment geometry,

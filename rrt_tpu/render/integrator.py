@@ -46,24 +46,30 @@ def _n_seg(cfg: RenderConfig):
     return ss.n_segments(cfg.black_hole.delta_theta)
 
 
-def _trace(scene, bh, rays, cfg: RenderConfig) -> Hit:
+STATS0 = jnp.zeros(2, jnp.float32)  # [prim tests, bbox tests] measured
+
+
+def _trace(scene, bh, rays, cfg: RenderConfig):
     """Closest hit for radiance: under autodiff, the fast discrete primal
     (Pallas kernel on TPU) + differentiable reconstruction
-    (`trace_diff`); otherwise the fast path directly."""
+    (`trace_diff`); otherwise the fast path directly.
+
+    Returns (Hit, (2,) measured work counters) — see geometry.trace.trace.
+    """
     if cfg.differentiable:
         return tracer.trace_diff(scene, bh, rays, n_seg=_n_seg(cfg),
-                                 backend=cfg.trace_backend)
+                                 backend=cfg.trace_backend), STATS0
     return tracer.trace(scene, bh, rays, n_seg=_n_seg(cfg),
-                        backend=cfg.trace_backend)
+                        backend=cfg.trace_backend, return_stats=True)
 
 
-def _trace_discrete(scene, bh, rays, cfg: RenderConfig) -> Hit:
+def _trace_discrete(scene, bh, rays, cfg: RenderConfig):
     """Closest hit whose continuous payload is never differentiated (only
     hit masks / bsdf ids are consumed): always use the fast path with
-    detached inputs."""
+    detached inputs. Returns (Hit, measured work counters)."""
     sg = lambda t: jax.tree_util.tree_map(jax.lax.stop_gradient, t)
     return tracer.trace(sg(scene), sg(bh), sg(rays), n_seg=_n_seg(cfg),
-                        backend=cfg.trace_backend)
+                        backend=cfg.trace_backend, return_stats=True)
 
 
 def _mask_rays(rays: Rays, active, bh) -> Rays:
@@ -90,7 +96,7 @@ def direct_lighting_importance(
     samples; ONE batched occlusion trace covers all (light, sample) pairs."""
     n_lights = scene.lights.kind.shape[0]
     if n_lights == 0:
-        return jnp.zeros_like(hit.p)
+        return jnp.zeros_like(hit.p), STATS0
 
     fx, fy, fz = _frames(hit)
     wo = m3.to_local(fx, fy, fz, hit.w_out)
@@ -132,13 +138,14 @@ def direct_lighting_importance(
         shadow = _mask_rays(shadow, facing & hit.hit[None], bh)
         # occluded() detaches its inputs internally: the fast early-exit
         # path stays usable under autodiff (visibility grads out of scope)
-        occ = tracer.occluded(scene, bh, shadow,
-                              n_seg=_n_seg(cfg), backend=cfg.trace_backend)
+        occ, tstats = tracer.occluded(
+            scene, bh, shadow, n_seg=_n_seg(cfg),
+            backend=cfg.trace_backend, return_stats=True)
         f_val = bsdflib.evaluate(
             scene.bsdfs, hit.bsdf_id[None], wo[None], wi_l)
         contrib = rad * f_val * (wi_l[..., 2:3]) / pdf[..., None]
         ok = (facing & ~occ & hit.hit[None])[..., None]
-        return jnp.sum(jnp.where(ok, contrib, 0.0), axis=0)
+        return jnp.sum(jnp.where(ok, contrib, 0.0), axis=0), tstats
 
     # Lane-blow-up guard: at -l 64 the stacked axis would multiply every
     # shading lane 64-128x through one trace (VMEM blow-up). Chunk the
@@ -147,8 +154,8 @@ def direct_lighting_importance(
     S = total
     c = max(1, cfg.nee_chunk)
     if S <= c:
-        L = sum_chunk((rad, wi_w, dist, pdf)) / total
-        return L
+        L, tstats = sum_chunk((rad, wi_w, dist, pdf))
+        return L / total, tstats
     pad = (-S) % c
     if pad:
         # padded entries: rad=0 kills their contribution; pdf=1 avoids 0/0
@@ -159,8 +166,8 @@ def direct_lighting_importance(
     chunked = jax.tree_util.tree_map(
         lambda a: a.reshape((-(S // -c), c) + a.shape[1:]),
         (rad, wi_w, dist, pdf))
-    per_chunk = jax.lax.map(sum_chunk, chunked)      # (nc, ..., 3)
-    return jnp.sum(per_chunk, axis=0) / total
+    per_chunk, cstats = jax.lax.map(sum_chunk, chunked)  # (nc, ..., 3)
+    return jnp.sum(per_chunk, axis=0) / total, jnp.sum(cstats, axis=0)
 
 
 def direct_lighting_hemisphere(
@@ -194,12 +201,13 @@ def direct_lighting_hemisphere(
     )
     # only h2.hit / h2.bsdf_id are consumed; the emission gather below
     # reads the LIVE (differentiable) bsdf table
-    h2 = _trace_discrete(scene, bh, rays, cfg)
+    h2, tstats = _trace_discrete(scene, bh, rays, cfg)
     emit = bsdflib.emission(scene.bsdfs, h2.bsdf_id)
     f_val = bsdflib.evaluate(scene.bsdfs, hit.bsdf_id[None], wo[None], wi_l)
     contrib = emit * f_val * wi_l[..., 2:3]
     ok = (h2.hit & hit.hit[None])[..., None]
-    return jnp.sum(jnp.where(ok, contrib, 0.0), axis=0) * 2.0 * PI / num
+    return (jnp.sum(jnp.where(ok, contrib, 0.0), axis=0) * 2.0 * PI / num,
+            tstats)
 
 
 def _direct(scene, bh, hit, cfg, key):
@@ -214,10 +222,14 @@ def est_radiance(
     rays: Rays,
     cfg: RenderConfig,
     key,
-) -> jnp.ndarray:
+    with_stats: bool = False,
+):
     """est_radiance_global_illumination (part1_code.cpp:103-123) for a flat
-    batch of camera rays. Returns (..., 3) radiance."""
-    hit = _trace(scene, bh, rays, cfg)
+    batch of camera rays. Returns (..., 3) radiance; with_stats=True also
+    returns the summed (2,) measured trace-work counters of every trace
+    this estimate issued (kernel-measured; see geometry.trace.trace)."""
+    ret = (lambda L, st: (L, st)) if with_stats else (lambda L, st: L)
+    hit, stats = _trace(scene, bh, rays, cfg)
     miss = ~hit.hit
 
     if scene.env is not None:
@@ -229,18 +241,19 @@ def est_radiance(
     if cfg.illum == Illum.NORMAL:
         # normal_shading(isect.n): raw interpolated normal (pathtracer.h:199)
         ns = hit.n * 0.5 + 0.5
-        return jnp.where(hit.hit[..., None], ns, L)
+        return ret(jnp.where(hit.hit[..., None], ns, L), stats)
 
     if cfg.illum == Illum.DIRECT:
         key, k = jax.random.split(key)
-        return L + _direct(scene, bh, hit, cfg, k)
+        Ld, st_d = _direct(scene, bh, hit, cfg, k)
+        return ret(L + Ld, stats + st_d)
 
     md = cfg.max_ray_depth
 
     if cfg.illum == Illum.FULL:
         L = L + bsdflib.emission(scene.bsdfs, hit.bsdf_id)  # zero bounce
         if md == 0:
-            return L
+            return ret(L, stats)
 
     # ---- at_least_one_bounce wavefront ----
     beta = jnp.ones_like(rays.d)
@@ -254,17 +267,18 @@ def est_radiance(
         bounces (no coin) yet still divides by 0.7 — the reference applies
         the RR weight unconditionally (part1_code.cpp:97).
         """
-        (L, beta, alive, hit) = carry
+        (L, beta, alive, hit, stats) = carry
         k_nee, k_coin, k_bsdf = jax.random.split(kk, 3)
         delta = bsdflib.is_delta(scene.bsdfs, hit.bsdf_id)
 
         do_nee = alive & ~delta
         if not (first and cfg.illum == Illum.INDIRECT):
-            nee = _direct(scene, bh, hit, cfg, k_nee)
+            nee, st_n = _direct(scene, bh, hit, cfg, k_nee)
             L = L + jnp.where(do_nee[..., None], beta * nee, 0.0)
+            stats = stats + st_n
 
         if not do_bounce:
-            return (L, beta, alive, hit)
+            return (L, beta, alive, hit, stats)
 
         cont = alive
         if rr:
@@ -284,7 +298,8 @@ def est_radiance(
             max_t=jnp.full_like(hit.t, jnp.inf),
         )
         nxt = _mask_rays(nxt, cont, bh)
-        h2 = _trace(scene, bh, nxt, cfg)
+        h2, st_b = _trace(scene, bh, nxt, cfg)
+        stats = stats + st_b
         cont = cont & h2.hit
         w = smp.value * (jnp.abs(smp.wi[..., 2:3])
                          / jnp.maximum(smp.pdf, 1e-30)[..., None]) / RR_PROB
@@ -292,11 +307,11 @@ def est_radiance(
         # delta BSDFs pick up the next hit's emission explicitly
         emit2 = bsdflib.emission(scene.bsdfs, h2.bsdf_id)
         L = L + jnp.where((cont & delta)[..., None], beta2 * emit2, 0.0)
-        return (L, jnp.where(cont[..., None], beta2, beta), cont, h2)
+        return (L, jnp.where(cont[..., None], beta2, beta), cont, h2, stats)
 
     # vertex d=md: NEE + unconditional bounce (when md >= 2)
     key, k0 = jax.random.split(key)
-    carry = vertex((L, beta, alive, hit), k0,
+    carry = vertex((L, beta, alive, hit, stats), k0,
                    first=True, do_bounce=md >= 2, rr=False)
 
     # vertices d=md-1 .. 2: NEE + RR bounce
@@ -324,4 +339,4 @@ def est_radiance(
         key, k_last = jax.random.split(key)
         carry = vertex(carry, k_last, first=False, do_bounce=False, rr=False)
 
-    return carry[0]
+    return ret(carry[0], carry[4])

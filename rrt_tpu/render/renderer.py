@@ -147,7 +147,8 @@ class Renderer:
         rays = _mask_lanes(rays, lane_live, self.bh)
         if self.sharding is not None:
             rays = jax.lax.with_sharding_constraint(rays, self.sharding)
-        L = est_radiance(self.scene, self.bh, rays, cfg, k_rad)
+        L, tstats = est_radiance(self.scene, self.bh, rays, cfg, k_rad,
+                                 with_stats=True)
         L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
         L = L.reshape(k, n, 3)
         L = jnp.where(valid_k[:, None, None], L, 0.0)
@@ -171,7 +172,7 @@ class Renderer:
                 <= cfg.max_tolerance * avg
             done = done | (at_batch & active & conv)
 
-        return (rad_sum, s1, s2, count, done)
+        return (rad_sum, s1, s2, count, done), tstats
 
     # -------------------------------------------------------- dispatch plan
 
@@ -325,6 +326,9 @@ class Renderer:
                     np.zeros(n, bool))
             accs = self._split_bands(zero, region, band_rows, n_bands)
         base = jax.random.key(cfg.seed)
+        # measured kernel work counters, accumulated ON DEVICE across all
+        # passes (no per-pass host sync); pulled once at the end
+        kstats = jnp.zeros(2, jnp.float32)
         self._stop = False
         cancelled = False
         try:
@@ -339,8 +343,10 @@ class Renderer:
                             jax.random.fold_in(base, s), b)
                         origin = jnp.array(
                             [x0, y0 + b * band_rows], jnp.int32)
-                        accs[b] = fn(accs[b], kb, jnp.asarray(s, jnp.int32),
-                                     jnp.asarray(ks, jnp.int32), origin)
+                        accs[b], tstats = fn(
+                            accs[b], kb, jnp.asarray(s, jnp.int32),
+                            jnp.asarray(ks, jnp.int32), origin)
+                        kstats = kstats + tstats
                     if first:
                         jax.block_until_ready(accs[0])
                 s += ks
@@ -377,6 +383,7 @@ class Renderer:
         hdr = (rad_sum.reshape(rh, rw, 3)
                / np.maximum(count[..., None], 1))
         self.last_sample_count = count
+        self.last_kernel_stats = np.asarray(kstats)
         self.samples_done = s
         self.cancelled = cancelled
         return hdr, count
@@ -409,6 +416,10 @@ class Renderer:
                              * self.cfg.width * self.cfg.height)
         st = expected_stats(self.cfg, nls, total_lane_samples=total_samples)
         st.wall_seconds = wall_seconds
+        ks = getattr(self, "last_kernel_stats", None)
+        if ks is not None:
+            st.measured_isect_tests = float(ks[0])
+            st.measured_bbox_tests = float(ks[1])
         return st
 
     def render_cell(self, x, y, dx, dy, **kw) -> np.ndarray:

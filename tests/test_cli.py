@@ -88,3 +88,64 @@ def test_dump_accel(tmp_path):
     assert len(doc["clusters"]) >= 1
     assert doc["clusters"][0]["tri_rows"][1] == 64
     assert (tmp_path / "viz_accel.png").exists()
+
+
+def test_dump_rays(tmp_path):
+    """--dump-rays writes the per-pixel ray log NPZ + hit/cost/segment
+    panels (the rayLog + ray-drawing analog, pathtracer.cpp:395-418)."""
+    import numpy as np
+    from rrt_tpu import cli
+    base = str(tmp_path / "rl")
+    out = str(tmp_path / "out.png")
+    cli.main(["-f", out, "-r", "24", "18", "-s", "1", "--illum", "0",
+              "--dump-rays", base,
+              "/root/reference/pathtracer/dae/sky/CBspheres_lambertian.dae"])
+    z = np.load(base + "_raylog.npz")
+    assert z["outcome"].shape == (18, 24)
+    # the Cornell box fills the view: everything hits geometry
+    assert (z["outcome"] == 1).all()
+    assert z["clusters"].max() > 0
+    assert (z["marched"] >= 1).all() and (z["marched"] <= 63).all()
+    # winning segment bounded by the march length
+    assert (z["win_seg"][z["outcome"] == 1]
+            <= z["marched"][z["outcome"] == 1]).all()
+    for suffix in ("_raylog_hit.png", "_raylog_cost.png",
+                   "_raylog_seg.png"):
+        assert (tmp_path / ("rl" + suffix)).exists()
+
+
+def test_serve_preview(tmp_path):
+    """--serve 0 starts the live-preview HTTP server (the interactive
+    viewer analog): the page, the preview PNG, and status are served
+    while the render runs."""
+    import threading
+    import urllib.request
+    from rrt_tpu import cli
+    from rrt_tpu.utils.serve import PreviewServer
+
+    # unit-level: serve a file we control on an ephemeral port
+    png = tmp_path / "p.png"
+    png.write_bytes(b"\x89PNG-fake")
+    srv = PreviewServer(str(png), 0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        page = urllib.request.urlopen(base + "/").read().decode()
+        assert "preview.png" in page
+        got = urllib.request.urlopen(base + "/preview.png").read()
+        assert got == b"\x89PNG-fake"
+        srv.update(3, 16)
+        import json as _json
+        st = _json.loads(
+            urllib.request.urlopen(base + "/status.json").read())
+        assert st == {"samples": 3, "total": 16, "done": False}
+    finally:
+        srv.stop()
+
+    # end-to-end: the CLI flag wires the server + preview path
+    out = str(tmp_path / "out.png")
+    rc = cli.main(["-f", out, "-r", "16", "12", "-s", "2", "--illum", "0",
+                   "--serve", "0",
+                   "/root/reference/pathtracer/dae/sky/"
+                   "CBspheres_lambertian.dae"])
+    assert rc == 0
+    assert (tmp_path / "out.png.preview.png").exists()

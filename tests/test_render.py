@@ -266,11 +266,11 @@ def test_nee_chunking_matches_unchunked():
                          indexing="ij")
     rays = cam.generate_rays(jnp.asarray(
         np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)))
-    hit = I._trace_discrete(scene, bh, rays, cfg)
+    hit, _ = I._trace_discrete(scene, bh, rays, cfg)
     key = jax.random.key(7)
-    L_chunked = I.direct_lighting_importance(
+    L_chunked, _ = I.direct_lighting_importance(
         scene, bh, hit, cfg.replace(nee_chunk=8), key)
-    L_single = I.direct_lighting_importance(
+    L_single, _ = I.direct_lighting_importance(
         scene, bh, hit, cfg.replace(nee_chunk=1024), key)
     assert bool(jnp.all(jnp.isfinite(L_chunked)))
     np.testing.assert_allclose(np.array(L_chunked), np.array(L_single),

@@ -139,13 +139,143 @@ def main_tpu(args):
               f"({W*H/dt:,.0f} lanes/s) on {len(jax.devices())} device(s)")
 
 
+def main_breakdown_worker(args):
+    """One device-count measurement, in-process (spawned by --breakdown):
+    attributes the sharded program's cost (VERDICT r3 weak item 4).
+
+    Prints one JSON line:
+      sharded_ms     — lane-sharded forward over all local devices
+      device0_ms     — identical program pinned to ONE device (control:
+                       on shared host cores, parallel speedup is bounded;
+                       the sharded/device0 gap is SPMD overhead + any
+                       actual parallelism)
+      transfer_ms    — first-call-minus-steady cost of handing the jitted
+                       fn NUMPY scene arrays each call vs pre-device_put
+                       ones (nonzero means tables re-ship per pass)
+      collectives    — census of collective ops in the compiled sharded
+                       HLO (all-reduce/all-gather/all-to-all/permute)
+      sort_ms        — curved forward with the trace lane sort ON vs OFF
+                       (the sort argsorts the GLOBAL lane axis, the one
+                       cross-device data movement in the render path)
+    """
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from rrt_tpu.scene.build import load_scene
+    from rrt_tpu.render.integrator import est_radiance
+    from rrt_tpu.render.renderer import make_black_hole
+    from rrt_tpu.utils.config import BlackHoleConfig, RenderConfig
+
+    W = H = args.size
+    scene, cam = load_scene(
+        "/root/reference/pathtracer/dae/sky/CBspheres_lambertian.dae", W, H)
+    ys, xs = np.meshgrid((np.arange(H) + 0.5) / H, (np.arange(W) + 0.5) / W,
+                         indexing="ij")
+    xy = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
+    key = jax.random.key(0)
+    ndev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), ("lanes",))
+    sh = NamedSharding(mesh, P("lanes"))
+    repl = NamedSharding(mesh, P())
+
+    def timeit(f, *a, reps=5):
+        out = f(*a)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(reps):
+            out = f(*a)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / reps * 1e3
+
+    def measure(cfg, tag_sorted=True):
+        import os as _o
+        _o.environ["RRT_TRACE_SORT"] = "1" if tag_sorted else "0"
+        jax.clear_caches()
+        bh = make_black_hole(cfg)
+        rays = cam.generate_rays(jnp.asarray(xy))
+        rays_sh = jax.device_put(rays, sh)
+        scene_d = jax.device_put(scene, repl)
+        bh_d = jax.device_put(bh, repl) if bh is not None else None
+
+        fwd = jax.jit(lambda s, b, r: est_radiance(s, b, r, cfg, key))
+        sharded_ms = timeit(fwd, scene_d, bh_d, rays_sh)
+        txt = fwd.lower(scene_d, bh_d, rays_sh).compile().as_text()
+        colls = {k: txt.count(k) for k in
+                 ("all-reduce", "all-gather", "all-to-all",
+                  "collective-permute")}
+        # single-device control: same lanes pinned to device 0
+        with jax.default_device(jax.devices()[0]):
+            rays_0 = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(np.asarray(a)), rays)
+            fwd0 = jax.jit(lambda s, b, r: est_radiance(s, b, r, cfg, key))
+            device0_ms = timeit(fwd0, scene, bh, rays_0)
+        # transfer check: numpy scene arrays per call vs committed ones
+        scene_np = jax.tree_util.tree_map(
+            lambda a: np.asarray(a) if hasattr(a, "dtype") else a, scene)
+        npy_ms = timeit(fwd, scene_np, bh_d, rays_sh)
+        return sharded_ms, device0_ms, npy_ms - sharded_ms, colls
+
+    flat = RenderConfig(width=W, height=H, ns_aa=1, ns_area_light=1,
+                        max_ray_depth=2, seed=0,
+                        black_hole=BlackHoleConfig(enabled=False))
+    curved = flat.replace(black_hole=BlackHoleConfig(enabled=True))
+    f_sh, f_d0, f_tx, f_coll = measure(flat)
+    c_sh, _, _, c_coll = measure(curved, tag_sorted=True)
+    c_ns, _, _, _ = measure(curved, tag_sorted=False)
+    print(json.dumps({
+        "ndev": ndev,
+        "flat_sharded_ms": round(f_sh, 2),
+        "flat_device0_ms": round(f_d0, 2),
+        "transfer_extra_ms": round(f_tx, 2),
+        "flat_collectives": f_coll,
+        "curved_sorted_ms": round(c_sh, 2),
+        "curved_nosort_ms": round(c_ns, 2),
+        "curved_collectives": c_coll,
+    }))
+
+
+def main_breakdown(args):
+    """Spawn --breakdown-worker at 1/2/4/8 virtual devices; print table."""
+    import json
+    rows = []
+    for ndev in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env.update(PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS=f"--xla_force_host_platform_device_count={ndev}")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--breakdown-worker", "--size", str(args.size)],
+            env=env, capture_output=True, timeout=1800)
+        line = r.stdout.decode().strip().splitlines()[-1]
+        rows.append(json.loads(line))
+        print(line)
+    print("\n| devs | flat sharded | flat dev0 | transfer Δ | "
+          "curved sorted | curved nosort | collectives (flat/curved) |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['ndev']} | {r['flat_sharded_ms']} ms "
+              f"| {r['flat_device0_ms']} ms | {r['transfer_extra_ms']} ms "
+              f"| {r['curved_sorted_ms']} ms | {r['curved_nosort_ms']} ms "
+              f"| {sum(r['flat_collectives'].values())}"
+              f"/{sum(r['curved_collectives'].values())} |")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--configs", default="1x1,1x2,1x4,2x2,1x8")
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--breakdown", action="store_true")
+    ap.add_argument("--breakdown-worker", action="store_true")
     args = ap.parse_args()
-    if args.tpu:
+    if args.breakdown_worker:
+        main_breakdown_worker(args)
+    elif args.breakdown:
+        main_breakdown(args)
+    elif args.tpu:
         main_tpu(args)
     else:
         main_cpu(args)
