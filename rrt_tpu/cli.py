@@ -237,6 +237,7 @@ def main(argv=None):
     else:
         print(f"\n[PathTracer] Rendering complete, {dt:.2f} sec")
     print(renderer.stats(dt).report())
+    print(f"[PathTracer] Phases: {renderer.timer.report()}")
     print(f"[PathTracer] Saved to {args.outfile}")
     if server is not None:
         if args.serve_wait:
