@@ -491,7 +491,7 @@ def trace(scene: SceneData, bh: BlackHoleParams, rays: Rays,
           chunk: int = 512, seg_group: int = 9,
           early_exit: bool = True, n_seg: int = None,
           backend: str = "auto", accel: str = "auto",
-          return_stats: bool = False):
+          return_stats: bool = False, sort_hint: str = "dir"):
     """Dispatch on the (static) curvature flag and backend.
 
     backend: "pallas" = fused on-chip kernel (TPU, SMEM-sized scenes),
@@ -512,7 +512,8 @@ def trace(scene: SceneData, bh: BlackHoleParams, rays: Rays,
             n_seg = ss.n_segments(float(bh.delta_theta)) if (
                 bh is not None and bh.enabled) else 1
         return pallas_trace(scene, bh, rays, n_seg=n_seg,
-                            return_stats=return_stats)
+                            return_stats=return_stats,
+                            sort_hint=sort_hint)
     if bh is not None and bh.enabled:
         if n_seg is None:
             n_seg = ss.n_segments(float(bh.delta_theta))
@@ -650,6 +651,7 @@ def occluded(scene: SceneData, bh: BlackHoleParams, rays: Rays,
              chunk: int = 512, seg_group: int = 9,
              early_exit: bool = True, n_seg: int = None,
              backend: str = "auto", return_stats: bool = False):
+    # (shadow batches sort origin-major — see pallas_trace sort_hint)
     """Shadow query: does `bvh->intersect(ray)` report a hit?
 
     Note the reference quirks this inherits: in curved mode the shadow
@@ -663,7 +665,8 @@ def occluded(scene: SceneData, bh: BlackHoleParams, rays: Rays,
     """
     sg = lambda t: jax.tree_util.tree_map(jax.lax.stop_gradient, t)
     out = trace(sg(scene), sg(bh), sg(rays), chunk, seg_group, early_exit,
-                n_seg, backend, return_stats=return_stats)
+                n_seg, backend, return_stats=return_stats,
+                sort_hint="origin")
     if return_stats:
         h, st = out
         return h.hit, st

@@ -1028,7 +1028,8 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
                  rays: Rays, n_seg: int,
                  interpret: bool = False,
                  return_seg: bool = False,
-                 return_stats: bool = False) -> Hit:
+                 return_stats: bool = False,
+                 sort_hint: str = "dir") -> Hit:
     """Full closest-hit query via the fused kernel, shading payload rebuilt
     outside (barycentrics re-derived for the winning triangle).
 
@@ -1064,10 +1065,35 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
                      0.0, 127.0).astype(jnp.int32)
         m = (_morton7(q[:, 0]) << 2 | _morton7(q[:, 1]) << 1
              | _morton7(q[:, 2]))
-        octant = ((flat_rays.d[:, 0] < 0).astype(jnp.int32) * 4
-                  + (flat_rays.d[:, 1] < 0).astype(jnp.int32) * 2
-                  + (flat_rays.d[:, 2] < 0).astype(jnp.int32))
-        perm = jnp.argsort(octant * (1 << 21) + m)
+        # Sort-key design, swept r4 on real configs: the shipped default
+        # is the sign-octant + 21-bit origin-Morton key (db=1) for EVERY
+        # batch type — measured best end-to-end (config 2: 137.7 s vs
+        # 149.8 s for per-type direction/cell keys). Isolated kbench
+        # patterns tell a different story (direction-major db=6 is 1.5-
+        # 2.7x faster for single-origin batches: 57.8/66.0 ms coherent/
+        # incoherent vs 85/177) but that pattern does not represent real
+        # bounce batches (random origins AND directions), where finer
+        # direction bins scatter spatially-local origins and RAISE
+        # measured prim tests/ray. Knobs kept for future tuning:
+        # RRT_SORT_DIRBITS (bits/axis), sort_hint="cell" (15-bit origin
+        # cell major, then direction cones).
+        if sort_hint == "cell":
+            db = int(os.environ.get("RRT_SORT_DIRBITS", "5"))
+        else:
+            db = int(os.environ.get("RRT_SORT_DIRBITS", "1"))
+        lv = 1 << db
+        qd = jnp.clip(((flat_rays.d + 1.0) * (0.5 * lv)),
+                      0.0, lv - 1).astype(jnp.int32)
+        octant = (qd[:, 0] << (2 * db)) | (qd[:, 1] << db) | qd[:, 2]
+        if sort_hint == "cell":
+            key = ((m >> 6) << (3 * db)) | octant
+        else:
+            # budget the int32 key: direction bins take the high bits,
+            # the origin Morton code keeps whatever fits (coarser cells
+            # at high db — they only order lanes WITHIN a direction bin)
+            mbits = min(21, 30 - 3 * db)
+            key = (octant << mbits) | (m >> (21 - mbits))
+        perm = jnp.argsort(key)
         flat_rays = jax.tree_util.tree_map(lambda a: a[perm], flat_rays)
     # kernel layout (RRT_KERNEL): v3 = segment-windowed gating with the
     # scalar-triangle sweep (default — fastest measured; dense full-tile

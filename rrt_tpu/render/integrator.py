@@ -49,7 +49,7 @@ def _n_seg(cfg: RenderConfig):
 STATS0 = jnp.zeros(2, jnp.float32)  # [prim tests, bbox tests] measured
 
 
-def _trace(scene, bh, rays, cfg: RenderConfig):
+def _trace(scene, bh, rays, cfg: RenderConfig, sort_hint="dir"):
     """Closest hit for radiance: under autodiff, the fast discrete primal
     (Pallas kernel on TPU) + differentiable reconstruction
     (`trace_diff`); otherwise the fast path directly.
@@ -60,7 +60,8 @@ def _trace(scene, bh, rays, cfg: RenderConfig):
         return tracer.trace_diff(scene, bh, rays, n_seg=_n_seg(cfg),
                                  backend=cfg.trace_backend), STATS0
     return tracer.trace(scene, bh, rays, n_seg=_n_seg(cfg),
-                        backend=cfg.trace_backend, return_stats=True)
+                        backend=cfg.trace_backend, return_stats=True,
+                        sort_hint=sort_hint)
 
 
 def _trace_discrete(scene, bh, rays, cfg: RenderConfig):
