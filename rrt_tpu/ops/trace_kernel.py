@@ -79,7 +79,7 @@ _ABLATE = _os.environ.get("RRT_ABLATE", "")
 
 def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
                      sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
-                     nisect_ref, ncull_ref, chords, ltouch, pbox_ref,
+                     nisect_ref, ncull_ref, wchords, ltouch, pbox_ref,
                      cl_ref, sup_ref, trow_ref, scan_part, slab,
                      *, p, P, S, n_seg, cluster_size, blocked):
     """Segment-windowed curved traversal (kernel v3).
@@ -123,11 +123,7 @@ def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
         def win_body(c):
             w, _ = c
             sidx = i_rows + w * 8                          # (8,128)
-            comps = []
-            for cc in range(7):
-                rows = [chords[jnp.minimum(w * 8 + s, n_seg - 1), cc,
-                               pl.ds(r, 1)] for s in range(8)]
-                comps.append(jnp.concatenate(rows, axis=0))
+            comps = [wchords[w, cc, r] for cc in range(7)]
             cox, coy, coz, cdx, cdy, cdz, clen = comps
             seg = row(seg_ref)
             hitm = row(hit_ref) > 0.0
@@ -377,6 +373,9 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             # total_isects, bvh.h:140) and bbox slab tests paid per lane
             nisect_ref, ncull_ref,
             chords,                  # VMEM scratch (n_chord,7,8,128)
+            wchords,                 # VMEM scratch (n_win,7,8,8,128): the
+                                     # same chords re-laid per sub-row for
+                                     # the windowed sweep: [w,c,r,s%8,:]
             ltouch,                  # VMEM scratch (1,8,128) i32: last seg
                                      # whose chord touches the scene bbox
             *, curved: bool, n_seg: int, n_tri_rows: int,
@@ -651,6 +650,18 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 chords[s, 4] = ndy
                 chords[s, 5] = ndz
                 chords[s, 6] = clen
+                if windowed:
+                    # windowed re-layout, written once here so the phase-2
+                    # window bodies read ONE (8,128) tile per component
+                    # instead of gathering 8 dynamic rows (8 sub-rows x
+                    # ~4 windows x n_parts gathers saved per tile)
+                    wi = s // 8
+                    sw = s - wi * 8
+                    for _c2, _v in enumerate(
+                            (px, py, pz, ndx, ndy, ndz, clen)):
+                        for _r2 in range(8):
+                            wchords[wi, _c2, _r2, pl.ds(sw, 1)] = \
+                                jax.lax.slice(_v, (_r2, 0), (_r2 + 1, 128))
                 # geometry is only reachable on chords touching the global
                 # scene bbox; the LAST touching segment (over the whole
                 # march, so lensed re-entry is exact) bounds phase 2
@@ -699,7 +710,7 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             _phase2_windowed(
                 hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
                 sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
-                nisect_ref, ncull_ref, chords, ltouch, pbox_ref,
+                nisect_ref, ncull_ref, wchords, ltouch, pbox_ref,
                 cl_ref, sup_ref, trow_ref, scan_part, slab,
                 p=p, P=P, S=S, n_seg=n_seg,
                 cluster_size=cluster_size, blocked=blocked)
@@ -991,6 +1002,7 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
         part_rows=part_rows)
 
     n_chord = n_seg if curved else 1
+    n_win = -(-n_seg // 8) if (curved and windowed) else 1
     outs = pl.pallas_call(
         kernel,
         grid=(g, n_parts),
@@ -1003,6 +1015,7 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
         out_specs=tuple(ray_spec for _ in range(13)),
         out_shape=tuple(out_shapes),
         scratch_shapes=[pltpu.VMEM((n_chord, 7, 8, 128), jnp.float32),
+                        pltpu.VMEM((n_win, 7, 8, 8, 128), jnp.float32),
                         pltpu.VMEM((1, 8, 128), jnp.int32)],
         interpret=interpret,
     )(bhp, *ray_ins, tri_tab, cl_tab, sup_tab, trow_tab, sph_tab, pbox_tab)
