@@ -65,13 +65,22 @@ PART_TRIS = 2048
 # total triangle capacity of the partitioned path (sanity cap)
 SMEM_TRI_BUDGET = 1 << 20
 # kernel culling granularity: CS_K-triangle clusters grouped into
-# SUP-cluster superclusters (3-level: part -> super -> cluster). Finer
-# than the XLA paths' scene.cluster_size=64: measured on CBbunny camera
-# rays, 16-tri clusters cut the per-ray union-gated triangle tests ~4x
-# for ~2x more slab tests, which the supercluster level then halves.
+# SUP-cluster superclusters (part -> super -> cluster -> tri), scene-
+# adaptive. Swept r4 end-to-end: on BVH-scale scenes 32 beats 16 (config
+# 2: 129.2 s vs 135.5 s — double the prim slots but HALF the slab/gate
+# traffic; dense triangle streams are cheaper than cluster gates on this
+# VPU), while small scenes prefer 16 (bench.py primary: 247k vs 217k
+# rays/s). 8 is worse everywhere; 64 would leave fewer supercluster rows
+# per part than the SMEM block minimum.
 import os as _os
-CS_K = int(_os.environ.get("RRT_CSK", "16"))
 SUP = 8
+
+
+def _cs_k(n_tris: int) -> int:
+    env = _os.environ.get("RRT_CSK")
+    if env:
+        return int(env)
+    return 32 if n_tris > 8192 else 16
 # temporary perf-ablation switch: "nophase2" skips traversal entirely
 # (march only); "noexec" gates but skips triangle execution
 _ABLATE = _os.environ.get("RRT_ABLATE", "")
@@ -839,6 +848,7 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
     n_pad = -(-n // tile) * tile
     g = n_pad // tile
     T = scene.n_tris
+    CS_K = _cs_k(T)
     # Pad the triangle table to a whole number of PART_TRIS-row parts; the
     # part index is the second (sequential) grid dimension, so one kernel
     # instance covers any scene size with the merge state resident in VMEM.
