@@ -491,7 +491,8 @@ def trace(scene: SceneData, bh: BlackHoleParams, rays: Rays,
           chunk: int = 512, seg_group: int = 9,
           early_exit: bool = True, n_seg: int = None,
           backend: str = "auto", accel: str = "auto",
-          return_stats: bool = False, sort_hint: str = "dir"):
+          return_stats: bool = False, sort_hint: str = "dir",
+          occlusion: bool = False):
     """Dispatch on the (static) curvature flag and backend.
 
     backend: "pallas" = fused on-chip kernel (TPU, SMEM-sized scenes),
@@ -513,7 +514,7 @@ def trace(scene: SceneData, bh: BlackHoleParams, rays: Rays,
                 bh is not None and bh.enabled) else 1
         return pallas_trace(scene, bh, rays, n_seg=n_seg,
                             return_stats=return_stats,
-                            sort_hint=sort_hint)
+                            sort_hint=sort_hint, occlusion=occlusion)
     if bh is not None and bh.enabled:
         if n_seg is None:
             n_seg = ss.n_segments(float(bh.delta_theta))
@@ -664,9 +665,14 @@ def occluded(scene: SceneData, bh: BlackHoleParams, rays: Rays,
     usable under `jax.grad` (visibility gradients are out of scope).
     """
     sg = lambda t: jax.tree_util.tree_map(jax.lax.stop_gradient, t)
+    # any-hit: shadow queries consume only the hit bool, so the kernel
+    # may stop refining a lane at its FIRST geometry hit (the closest-t
+    # same-segment rescans across parts vanish; absorption-beats-geometry
+    # ordering is preserved because absorption still seeds the segment
+    # bound, bvh.cpp:107-108)
     out = trace(sg(scene), sg(bh), sg(rays), chunk, seg_group, early_exit,
                 n_seg, backend, return_stats=return_stats,
-                sort_hint="origin")
+                sort_hint="origin", occlusion=True)
     if return_stats:
         h, st = out
         return h.hit, st

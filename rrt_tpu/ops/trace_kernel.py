@@ -90,7 +90,8 @@ def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
                      sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
                      nisect_ref, ncull_ref, wchords, ltouch, pbox_ref,
                      cl_ref, sup_ref, trow_ref, scan_part, slab,
-                     *, p, P, S, n_seg, cluster_size, blocked):
+                     *, p, P, S, n_seg, cluster_size, blocked,
+                     occlusion):
     """Segment-windowed curved traversal (kernel v3).
 
     The v2 loop broadcasts each culling/intersection op over ONE chord
@@ -122,7 +123,13 @@ def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
             s0 = w * 8
             seg = row(seg_ref)
             hitm = row(hit_ref) > 0.0
-            ok = ((s0 < seg) | ((s0 == seg) & hitm)) & (s0 <= row(ltouch))
+            if occlusion:
+                # any-hit: a lane with ANY geometry hit is final — no
+                # same-segment closest-t refinement across parts
+                ok = ~hitm & (s0 < seg) & (s0 <= row(ltouch))
+            else:
+                ok = ((s0 < seg) | ((s0 == seg) & hitm)) \
+                    & (s0 <= row(ltouch))
             return jnp.max(ok.astype(jnp.float32)) > 0.0
 
         def win_cond(c):
@@ -138,11 +145,15 @@ def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
             hitm = row(hit_ref) > 0.0
             cur_t = row(t_ref)
             valid = (sidx < n_seg) & (sidx <= row(ltouch))
-            lt_c = (sidx < seg) & valid
-            eq_c = (sidx == seg) & hitm & valid
-            tmax_eff = jnp.where(
-                lt_c, clen,
-                jnp.where(eq_c, jnp.minimum(clen, cur_t), -1.0))
+            if occlusion:
+                lt_c = (sidx < seg) & valid & ~hitm
+                tmax_eff = jnp.where(lt_c, clen, -1.0)
+            else:
+                lt_c = (sidx < seg) & valid
+                eq_c = (sidx == seg) & hitm & valid
+                tmax_eff = jnp.where(
+                    lt_c, clen,
+                    jnp.where(eq_c, jnp.minimum(clen, cur_t), -1.0))
             part_reach = slab(
                 pbox_ref[p, 0], pbox_ref[p, 1], pbox_ref[p, 2],
                 pbox_ref[p, 3], pbox_ref[p, 4], pbox_ref[p, 5],
@@ -389,7 +400,7 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                                      # whose chord touches the scene bbox
             *, curved: bool, n_seg: int, n_tri_rows: int,
             cluster_size: int, n_parts: int, windowed: bool,
-            blocked: bool, part_rows: int):
+            blocked: bool, part_rows: int, occlusion: bool):
     P = part_rows                    # triangle rows in this part
     cpp = cl_ref.shape[0]            # clusters in this part
     S = sph_ref.shape[0]
@@ -722,7 +733,8 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 nisect_ref, ncull_ref, wchords, ltouch, pbox_ref,
                 cl_ref, sup_ref, trow_ref, scan_part, slab,
                 p=p, P=P, S=S, n_seg=n_seg,
-                cluster_size=cluster_size, blocked=blocked)
+                cluster_size=cluster_size, blocked=blocked,
+                occlusion=occlusion)
             return
 
         # v2 layout: loop segments while any lane can still improve on the
@@ -833,11 +845,11 @@ def pallas_supported(scene: SceneData) -> bool:
 
 @functools.partial(
     jax.jit, static_argnames=("curved", "n_seg", "interpret", "windowed",
-                              "blocked"))
+                              "blocked", "occlusion"))
 def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
                      rays: Rays, curved: bool, n_seg: int,
                      interpret: bool = False, windowed: bool = True,
-                     blocked: bool = True):
+                     blocked: bool = True, occlusion: bool = False):
     # the flat (curved=False) branch runs the scalar scan_part sweep and
     # needs the SMEM triangle table — the blocked layout is curved-only
     blocked = blocked and curved
@@ -1009,7 +1021,7 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
         _kernel, curved=curved, n_seg=n_seg, n_tri_rows=T_pad,
         cluster_size=CS_K, n_parts=n_parts,
         windowed=windowed and curved, blocked=blocked,
-        part_rows=part_rows)
+        part_rows=part_rows, occlusion=occlusion and windowed and curved)
 
     n_chord = n_seg if curved else 1
     n_win = -(-n_seg // 8) if (curved and windowed) else 1
@@ -1052,7 +1064,8 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
                  interpret: bool = False,
                  return_seg: bool = False,
                  return_stats: bool = False,
-                 sort_hint: str = "dir") -> Hit:
+                 sort_hint: str = "dir",
+                 occlusion: bool = False) -> Hit:
     """Full closest-hit query via the fused kernel, shading payload rebuilt
     outside (barycentrics re-derived for the winning triangle).
 
@@ -1127,7 +1140,8 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
     windowed = mode != "v2"
     blocked = mode not in ("v2", "v3")
     hit, absd, t, prim, seg, seg_o, seg_d, kstats = pallas_trace_raw(
-        scene, bh, flat_rays, curved, n_seg, interpret, windowed, blocked)
+        scene, bh, flat_rays, curved, n_seg, interpret, windowed, blocked,
+        occlusion)
     if sort:
         inv_perm = jnp.argsort(perm)
         unp = lambda a: a[inv_perm]

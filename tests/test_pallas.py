@@ -166,3 +166,17 @@ def test_kernel_work_counters(scene):
     # XLA path reports zeros (no counters), same structure
     hx, stx = T.trace(scene, bh, rays, backend="xla", return_stats=True)
     assert np.asarray(stx).shape == (2,) and float(np.asarray(stx).sum()) == 0
+
+
+def test_occlusion_mode_matches_closest_hit(scene):
+    """Any-hit mode (shadow queries): the hit BOOL must be identical to
+    the closest-hit kernel's — including absorption-beats-geometry lanes
+    — while skipping the same-segment closest-t refinement."""
+    rays = _rays(1500, seed=11)
+    bh = BlackHoleParams(position=jnp.array([0.0, 1.0, 0.0]),
+                         radius=jnp.array(0.1), delta_theta=jnp.array(0.1))
+    h_any = pallas_trace(scene, bh, rays, n_seg=63, interpret=True,
+                         occlusion=True)
+    h_full = pallas_trace(scene, bh, rays, n_seg=63, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h_any.hit),
+                                  np.asarray(h_full.hit))
