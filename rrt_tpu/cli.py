@@ -223,7 +223,8 @@ def main(argv=None):
                        if preview_path is not None else None),
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every if args.checkpoint else None,
-        resume=args.resume)
+        resume=args.resume,
+        control=server.control if server is not None else None)
     dt = time.time() - t0
     if server is not None:
         import shutil

@@ -158,7 +158,12 @@ def closest_hit_brute(
     bb2 = jnp.where(better, 0.0, bb2)
 
     hit = jnp.isfinite(bt)
-    return hit, jnp.where(hit, bt, max_t), bp, bb1, bb2
+    # measured work (reference total_isects analog): brute tests every
+    # lane against every primitive; no bbox culling exists on this path
+    n_lanes = float(np.prod(shape)) if shape else 1.0
+    stats = jnp.array([n_lanes * (n_t + scene.sph_center.shape[0]), 0.0],
+                      jnp.float32)
+    return hit, jnp.where(hit, bt, max_t), bp, bb1, bb2, stats
 
 
 def closest_hit_cluster(
@@ -201,7 +206,7 @@ def closest_hit_cluster(
         inv = 1.0 / safe_d
 
         def body(carry, k):
-            bt, bp, bb1, bb2 = carry
+            bt, bp, bb1, bb2, ni = carry
             lo = scene.cluster_lo[k]
             hi = scene.cluster_hi[k]
             t0 = (lo - ot) * inv
@@ -215,7 +220,7 @@ def closest_hit_cluster(
                 cap >= mnt)
 
             def do(c):
-                bt, bp, bb1, bb2 = c
+                bt, bp, bb1, bb2, ni = c
                 sl = lambda a: jax.lax.dynamic_slice_in_dim(a, k * cs, cs)
                 ok, t, b1, b2 = tri_intersect(
                     ot, dt_, mnt, mxt,
@@ -232,6 +237,7 @@ def closest_hit_cluster(
                     jnp.where(better, (k * cs + j).astype(jnp.int32), bp),
                     jnp.where(better, take(b1), bb1),
                     jnp.where(better, take(b2), bb2),
+                    ni + float(tile * cs),
                 )
 
             carry = jax.lax.cond(jnp.any(reach), do, lambda c: c, carry)
@@ -242,8 +248,9 @@ def closest_hit_cluster(
             jnp.full((tile,), -1, jnp.int32),
             jnp.zeros((tile,), o.dtype),
             jnp.zeros((tile,), o.dtype),
+            jnp.float32(0.0),
         )
-        (bt, bp, bb1, bb2), _ = jax.lax.scan(body, init, jnp.arange(K))
+        (bt, bp, bb1, bb2, ni), _ = jax.lax.scan(body, init, jnp.arange(K))
 
         # spheres (S is tiny; single dense pass)
         ok, t = sphere_intersect(
@@ -257,13 +264,17 @@ def closest_hit_cluster(
         bp = jnp.where(better, (scene.n_tris + j).astype(jnp.int32), bp)
         bb1 = jnp.where(better, 0.0, bb1)
         bb2 = jnp.where(better, 0.0, bb2)
-        return bt, bp, bb1, bb2
+        ni = ni + float(tile * scene.sph_center.shape[0])
+        # per-tile measured work: executed clusters × cs prim tests per
+        # lane (ni) + the dense K-cluster slab sweep every lane pays
+        return bt, bp, bb1, bb2, jnp.stack([ni, jnp.float32(tile * K)])
 
-    bt, bp, bb1, bb2 = jax.lax.map(per_tile, (o_f, d_f, mn_f, mx_f))
+    bt, bp, bb1, bb2, st = jax.lax.map(per_tile, (o_f, d_f, mn_f, mx_f))
     unflat = lambda a: a.reshape(-1)[:n].reshape(shape)
+    stats = jnp.sum(st, axis=0)
     bt, bp, bb1, bb2 = unflat(bt), unflat(bp), unflat(bb1), unflat(bb2)
     hit = jnp.isfinite(bt)
-    return hit, jnp.where(hit, bt, max_t), bp, bb1, bb2
+    return hit, jnp.where(hit, bt, max_t), bp, bb1, bb2, stats
 
 
 def closest_hit_shortlist(
@@ -343,7 +354,8 @@ def closest_hit_shortlist(
         return (jnp.full((tile_chunk, tile), jnp.inf, o.dtype),
                 jnp.full((tile_chunk, tile), -1, jnp.int32),
                 jnp.zeros((tile_chunk, tile), o.dtype),
-                jnp.zeros((tile_chunk, tile), o.dtype))
+                jnp.zeros((tile_chunk, tile), o.dtype),
+                jnp.zeros(2, jnp.float32))
 
     def _chunk_run(args):
         ot, dt_, mnt, mxt = args
@@ -379,7 +391,7 @@ def closest_hit_shortlist(
             return r * M < count_max
 
         def body(c):
-            r, bt, bp, bb1, bb2 = c
+            r, bt, bp, bb1, bb2, ni = c
             ids_r = jax.lax.dynamic_slice(
                 ids, (jnp.int32(0), r * M), (tile_chunk, M))
             slot_ok = (r * M + arm)[None, :] < count[:, None]
@@ -402,14 +414,16 @@ def closest_hit_shortlist(
                     jnp.where(better, tj, bt),
                     jnp.where(better, pj, bp),
                     jnp.where(better, take(b1), bb1),
-                    jnp.where(better, take(b2), bb2))
+                    jnp.where(better, take(b2), bb2),
+                    ni + float(tile_chunk * tile * M * cs))
 
         init = (jnp.int32(0),
                 jnp.full((tile_chunk, tile), jnp.inf, o.dtype),
                 jnp.full((tile_chunk, tile), -1, jnp.int32),
                 jnp.zeros((tile_chunk, tile), o.dtype),
-                jnp.zeros((tile_chunk, tile), o.dtype))
-        _, bt, bp, bb1, bb2 = jax.lax.while_loop(cond, body, init)
+                jnp.zeros((tile_chunk, tile), o.dtype),
+                jnp.float32(0.0))
+        _, bt, bp, bb1, bb2, ni = jax.lax.while_loop(cond, body, init)
 
         # ---- spheres (S is tiny; single dense pass)
         ok, t = sphere_intersect(
@@ -423,13 +437,19 @@ def closest_hit_shortlist(
         bp = jnp.where(better, (n_t + j).astype(jnp.int32), bp)
         bb1 = jnp.where(better, 0.0, bb1)
         bb2 = jnp.where(better, 0.0, bb2)
-        return bt, bp, bb1, bb2
+        # measured work per chunk: shortlist rounds × M·cs prim tests per
+        # lane + S spheres (ni) + the dense K-cluster slab reach all lanes
+        # pay in phase 1 — the XLA analog of the kernel's nisect/ncull
+        ni = ni + float(tile_chunk * tile * scene.sph_center.shape[0])
+        return bt, bp, bb1, bb2, jnp.stack(
+            [ni, jnp.float32(tile_chunk * tile * K)])
 
-    bt, bp, bb1, bb2 = jax.lax.map(per_chunk, (o_f, d_f, mn_f, mx_f))
+    bt, bp, bb1, bb2, st = jax.lax.map(per_chunk, (o_f, d_f, mn_f, mx_f))
     unflat = lambda a: a.reshape(-1)[:n].reshape(shape)
+    stats = jnp.sum(st, axis=0)
     bt, bp, bb1, bb2 = unflat(bt), unflat(bp), unflat(bb1), unflat(bb2)
     hit = jnp.isfinite(bt)
-    return hit, jnp.where(hit, bt, max_t), bp, bb1, bb2
+    return hit, jnp.where(hit, bt, max_t), bp, bb1, bb2, stats
 
 
 def trace_chords_shortlist(
@@ -582,7 +602,7 @@ def trace_chords_shortlist(
                 return (r * drain < count_max) & improv
 
             def r_body(c):
-                r, _, bt, bp, bb1, bb2 = c
+                r, _, bt, bp, bb1, bb2, ni = c
                 g_r = jax.lax.dynamic_slice(
                     ids, (jnp.int32(0), r * drain), (tile_chunk, drain))
                 slot_ok = (r * drain + ard)[None, :] < count[:, None]
@@ -614,20 +634,28 @@ def trace_chords_shortlist(
                     ent_sorted, (jnp.int32(0), (r + 1) * drain),
                     (tile_chunk, 1))
                 improv = jnp.any(bt > nxt)
-                return (r + 1, improv, bt, bp, bb1, bb2)
+                return (r + 1, improv, bt, bp, bb1, bb2,
+                        ni + float(tile_chunk * tile * drain * rows))
 
             improv0 = count_max > 0
-            _, _, bt, bp, bb1, bb2 = jax.lax.while_loop(
-                r_cond, r_body, (jnp.int32(0), improv0, bt, bp, bb1, bb2))
+            # measured work this rank: S spheres per lane now, then
+            # drain·rows prim tests per lane per executed round (ni); every
+            # lane pays the dense G-granule slab reach (ncull)
+            ni0 = jnp.float32(
+                tile_chunk * tile * scene.sph_center.shape[0])
+            _, _, bt, bp, bb1, bb2, ni = jax.lax.while_loop(
+                r_cond, r_body,
+                (jnp.int32(0), improv0, bt, bp, bb1, bb2, ni0))
             hit = jnp.isfinite(bt) & (bp >= 0)
-            return hit, jnp.where(hit, bt, 0.0), bp, bb1, bb2
+            stats = jnp.stack([ni, jnp.float32(tile_chunk * tile * G)])
+            return hit, jnp.where(hit, bt, 0.0), bp, bb1, bb2, stats
 
         def j_cond(c):
             j, found = c[0], c[1]
             return (j < local_max) & jnp.any(~found & (j < cnt))
 
         def j_body(c):
-            (j, found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b) = c
+            (j, found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b, nst) = c
             sj = jax.lax.dynamic_index_in_dim(rk_k, j, 0, keepdims=False)
             gat = lambda a: jnp.take_along_axis(
                 a, sj.reshape((1,) + sj.shape + (1,) * (a.ndim - 3)),
@@ -643,9 +671,10 @@ def trace_chords_shortlist(
             def skip(_):
                 z = jnp.zeros((tile_chunk, tile), dt)
                 return (jnp.zeros((tile_chunk, tile), bool), z,
-                        jnp.full((tile_chunk, tile), -1, jnp.int32), z, z)
+                        jnp.full((tile_chunk, tile), -1, jnp.int32), z, z,
+                        jnp.zeros(2, jnp.float32))
 
-            hit, t, pid, b1, b2 = jax.lax.cond(
+            hit, t, pid, b1, b2, rst = jax.lax.cond(
                 jnp.any(act), run, skip, None)
             new = hit & act
             upd = lambda cur, v: jnp.where(new, v, cur)
@@ -653,39 +682,47 @@ def trace_chords_shortlist(
             return (j + 1, found | new,
                     upd(t_b, t), upd(prim_b, pid), upd(b1_b, b1),
                     upd(b2_b, b2), upd3(so_b, pos), upd3(sd_b, nd),
-                    upd(seg_b, sj))
+                    upd(seg_b, sj), nst + rst)
 
         z = jnp.zeros((tile_chunk, tile), dt)
         init = (jnp.int32(0), jnp.zeros((tile_chunk, tile), bool),
                 z, jnp.full((tile_chunk, tile), -1, jnp.int32), z, z,
                 jnp.zeros((tile_chunk, tile, 3), dt),
                 jnp.zeros((tile_chunk, tile, 3), dt),
-                jnp.full((tile_chunk, tile), n_seg, jnp.int32))
+                jnp.full((tile_chunk, tile), n_seg, jnp.int32),
+                jnp.zeros(2, jnp.float32))
         st = jax.lax.while_loop(j_cond, j_body, init)
-        (_, found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b) = st
-        return found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b
+        (_, found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b, nst) = st
+        return found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b, nst
 
     outs = jax.lax.map(per_chunk, (so_c, sd_c, sl_c, rk_c, cnt_c))
     unflat = lambda a: a.reshape((-1,) + a.shape[3:])[:n]
-    return tuple(unflat(a) for a in outs)
+    return tuple(unflat(a) for a in outs[:-1]) + (
+        jnp.sum(outs[-1], axis=0),)
 
 
 def closest_hit(scene, o, d, min_t, max_t, chunk: int = 512,
-                accel: str = "auto"):
+                accel: str = "auto", return_stats: bool = False):
     """Dispatch between the culled and brute closest-hit queries.
 
     accel: "shortlist" = per-tile cluster shortlists, dense + branchless
     (default when cluster tables exist), "cluster" = per-cluster
     `lax.cond` scan (legacy), "brute" = dense chunked scan (also the
     reverse-AD-friendly choice for tiny batches), "auto" picks shortlist
-    when cluster tables are available."""
+    when cluster tables are available.
+
+    return_stats=True appends a (2,) f32 of measured work counters
+    [prim tests paid, bbox tests paid] — same accounting as the Pallas
+    kernel's nisect/ncull (the reference's total_isects, bvh.h:140)."""
     if accel == "auto":
         accel = "shortlist" if scene.cluster_lo is not None else "brute"
     if accel == "shortlist":
-        return closest_hit_shortlist(scene, o, d, min_t, max_t)
-    if accel == "cluster":
-        return closest_hit_cluster(scene, o, d, min_t, max_t)
-    return closest_hit_brute(scene, o, d, min_t, max_t, chunk)
+        out = closest_hit_shortlist(scene, o, d, min_t, max_t)
+    elif accel == "cluster":
+        out = closest_hit_cluster(scene, o, d, min_t, max_t)
+    else:
+        out = closest_hit_brute(scene, o, d, min_t, max_t, chunk)
+    return out if return_stats else out[:5]
 
 
 def build_hit(scene: SceneData, o, d, hit, t, prim_id, b1, b2) -> Hit:

@@ -38,12 +38,16 @@ from rrt_tpu.types import BlackHoleParams, Hit, Rays, SceneData
 
 
 def trace_flat(scene: SceneData, rays: Rays, chunk: int = 512,
-               accel: str = "auto") -> Hit:
+               accel: str = "auto", return_stats: bool = False):
     """Straight-ray closest hit honoring min_t/max_t (new capability:
     the reference cannot disable curvature)."""
-    hit, t, pid, b1, b2 = closest_hit(
-        scene, rays.o, rays.d, rays.min_t, rays.max_t, chunk, accel)
-    return build_hit(scene, rays.o, rays.d, hit, t, pid, b1, b2)
+    hit, t, pid, b1, b2, stats = closest_hit(
+        scene, rays.o, rays.d, rays.min_t, rays.max_t, chunk, accel,
+        return_stats=True)
+    h = build_hit(scene, rays.o, rays.d, hit, t, pid, b1, b2)
+    if return_stats:
+        return h, stats
+    return h
 
 
 def trace_curved(
@@ -227,6 +231,7 @@ def trace_curved_marched(
     chunk: int = 512,
     accel: str = "auto",
     return_seg: bool = False,
+    return_stats: bool = False,
 ):
     """Lane-slab wrapper over `_trace_curved_marched_slab`: giant batches
     (NEE chunks can reach lanes × ns_area_light) are processed LANE_SLAB
@@ -236,7 +241,7 @@ def trace_curved_marched(
     n = int(np.prod(shape)) if shape else 1
     if n <= LANE_SLAB:
         return _trace_curved_marched_slab(scene, bh, rays, n_seg, chunk,
-                                          accel, return_seg)
+                                          accel, return_seg, return_stats)
     flat = Rays(o=rays.o.reshape(-1, 3), d=rays.d.reshape(-1, 3),
                 min_t=rays.min_t.reshape(-1), max_t=rays.max_t.reshape(-1))
     n_pad = -(-n // LANE_SLAB) * LANE_SLAB
@@ -252,16 +257,20 @@ def trace_curved_marched(
 
     def one(rs):
         return _trace_curved_marched_slab(scene, bh, rs, n_seg, chunk,
-                                          accel, True)
+                                          accel, True, True)
 
-    h, seg = jax.lax.map(one, batched)
+    h, seg, st = jax.lax.map(one, batched)
     cut = lambda a: a.reshape((-1,) + a.shape[2:])[:n].reshape(
         shape + a.shape[2:])
     h = jax.tree_util.tree_map(cut, h)
     seg = cut(seg)
+    stats = jnp.sum(st, axis=0)
+    out = (h,)
     if return_seg:
-        return h, seg
-    return h
+        out = out + (seg,)
+    if return_stats:
+        out = out + (stats,)
+    return out if len(out) > 1 else h
 
 
 def _trace_curved_marched_slab(
@@ -272,6 +281,7 @@ def _trace_curved_marched_slab(
     chunk: int = 512,
     accel: str = "auto",
     return_seg: bool = False,
+    return_stats: bool = False,
 ):
     """Micro-ray marched closest hit, march-once formulation — the XLA
     analog of the fused Pallas kernel's design (ops/trace_kernel.py).
@@ -422,7 +432,7 @@ def _trace_curved_marched_slab(
     if scene.cluster_lo is not None:
         from rrt_tpu.geometry.intersect import trace_chords_shortlist
 
-        (found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b) = \
+        (found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b, tstats) = \
             trace_chords_shortlist(scene, so_all, sd_all, slen_all,
                                    s_rank, count_t, n_seg)
         # lanes whose winning chord was never set keep the ORIGINAL ray
@@ -437,7 +447,7 @@ def _trace_curved_marched_slab(
             return (j < max_count) & jnp.any(~found & (j < count_t))
 
         def body(c):
-            (j, found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b) = c
+            (j, found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b, nst) = c
             sj = jax.lax.dynamic_index_in_dim(s_rank, j, 0, keepdims=False)
             gat = lambda a: jnp.take_along_axis(
                 a, sj.reshape((1,) + sj.shape + (1,) * (a.ndim - 2)),
@@ -446,23 +456,25 @@ def _trace_curved_marched_slab(
             nd = gat(sd_all)
             clen = gat(slen_all)
             act = ~found & (j < count_t)
-            hit, t, pid, b1, b2 = closest_hit(
+            hit, t, pid, b1, b2, rst = closest_hit(
                 scene, pos, nd, jnp.zeros((n,), dt),
-                jnp.where(act, clen, -1.0), chunk, accel)
+                jnp.where(act, clen, -1.0), chunk, accel,
+                return_stats=True)
             new = hit & act
             upd = lambda cur, v: jnp.where(new, v, cur)
             upd3 = lambda cur, v: jnp.where(new[..., None], v, cur)
             return (j + 1, found | new,
                     upd(t_b, t), upd(prim_b, pid), upd(b1_b, b1),
                     upd(b2_b, b2), upd3(so_b, pos), upd3(sd_b, nd),
-                    upd(seg_b, sj))
+                    upd(seg_b, sj), nst + rst)
 
         init = (jnp.int32(0), zeros_b,
                 jnp.zeros((n,), dt), jnp.full((n,), -1, jnp.int32),
                 jnp.zeros((n,), dt), jnp.zeros((n,), dt), o, d,
-                jnp.full((n,), n_seg, jnp.int32))
+                jnp.full((n,), n_seg, jnp.int32),
+                jnp.zeros(2, jnp.float32))
         st = jax.lax.while_loop(cond, body, init)
-        (_, found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b) = st
+        (_, found, t_b, prim_b, b1_b, b2_b, so_b, sd_b, seg_b, tstats) = st
 
     if sort:
         inv_perm = jnp.argsort(perm)
@@ -477,9 +489,12 @@ def _trace_curved_marched_slab(
         hit = jax.tree_util.tree_map(
             lambda a: a.reshape(shape + a.shape[1:]), hit)
         seg = seg.reshape(shape)
+    out = (hit,)
     if return_seg:
-        return hit, seg
-    return hit
+        out = out + (seg,)
+    if return_stats:
+        out = out + (tstats,)
+    return out if len(out) > 1 else hit
 
 
 def _pallas_eligible(scene: SceneData) -> bool:
@@ -502,8 +517,9 @@ def trace(scene: SceneData, bh: BlackHoleParams, rays: Rays,
 
     return_stats=True additionally returns a (2,) f32 of measured work
     counters [primitive tests paid, bbox slab tests paid] summed over
-    lanes — the reference's total_isects analog (bvh.h:140). Only the
-    Pallas kernel measures them; the XLA paths report zeros.
+    lanes — the reference's total_isects analog (bvh.h:140). Both the
+    Pallas kernel and the XLA paths measure them (the legacy seg-group
+    fold, early_exit=False, reports zeros).
     """
     if backend == "auto":
         backend = "pallas" if _pallas_eligible(scene) else "xla"
@@ -519,15 +535,15 @@ def trace(scene: SceneData, bh: BlackHoleParams, rays: Rays,
         if n_seg is None:
             n_seg = ss.n_segments(float(bh.delta_theta))
         if early_exit:
-            h = trace_curved_marched(scene, bh, rays, n_seg, chunk, accel)
-        else:
-            h = trace_curved(scene, bh, rays, seg_group, chunk, early_exit,
-                             n_seg, accel)
-    else:
-        h = trace_flat(scene, rays, chunk, accel)
-    if return_stats:
-        return h, jnp.zeros(2, jnp.float32)
-    return h
+            out = trace_curved_marched(scene, bh, rays, n_seg, chunk,
+                                       accel, return_stats=return_stats)
+            return out if return_stats else out
+        h = trace_curved(scene, bh, rays, seg_group, chunk, early_exit,
+                         n_seg, accel)
+        if return_stats:
+            return h, jnp.zeros(2, jnp.float32)
+        return h
+    return trace_flat(scene, rays, chunk, accel, return_stats=return_stats)
 
 
 def trace_with_seg(scene: SceneData, bh: BlackHoleParams, rays: Rays,

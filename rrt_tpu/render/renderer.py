@@ -176,6 +176,39 @@ class Renderer:
 
     # -------------------------------------------------------- dispatch plan
 
+    def _planner_constants(self, k, n, calls, lane_cost, n_seg, T):
+        """Measured (alpha, beta) for the dispatch cost model (VERDICT r4
+        item 5). Conservative priors decide cheaply whether the budget
+        could bind at all; only then is the one-shot trace probe run (and
+        persisted per device+backend in the JAX cache dir). Tests can
+        inject `self._cal_runner` (a fake-clock probe)."""
+        from rrt_tpu.utils import dispatch_cal as dc
+        # with 2x-safety priors, does the largest candidate dispatch fit?
+        est_prior = calls * (2 * dc.PRIOR_ALPHA) \
+            + k * n * lane_cost * (2 * dc.PRIOR_BETA)
+        runner = getattr(self, "_cal_runner", None)
+        if est_prior <= T and runner is None:
+            return dc.PRIOR_ALPHA, dc.PRIOR_BETA
+        import jax
+        dev = jax.devices()[0]
+        cache_dir = os.environ.get("RRT_JAX_CACHE", "/root/.cache/rrt_jax")
+        backend = self.cfg.trace_backend
+        if runner is None:
+            def runner_factory():
+                return dc.make_trace_runner(
+                    self.scene, self.bh, n_seg, backend)
+            # only build the real probe outside the env-override/cache
+            # fast paths (building it costs nothing, running it compiles)
+            runner = None
+            if not (os.environ.get("RRT_DISPATCH_ALPHA")
+                    or os.environ.get("RRT_DISPATCH_BETA")
+                    or os.path.exists(dc.cache_path(
+                        cache_dir, dev.device_kind, backend))):
+                runner = runner_factory()
+        return dc.load_or_calibrate(
+            cache_dir, dev.device_kind, backend, runner,
+            lane_cost_unit=n_seg)
+
     def _dispatch_plan(self, n: int, rw: int, rh: int):
         """Bound per-dispatch device work (BASELINE.md Heavy-config: the
         relay kills single dispatches past a few hundred seconds — and a
@@ -212,8 +245,8 @@ class Renderer:
         nee_traces = -(-S // max(1, cfg.nee_chunk)) if S else 0
         calls = 1 + depth_eff * (nee_traces + 1)
         lane_cost = n_seg * (1 + depth_eff * (S + 1))
-        alpha = float(os.environ.get("RRT_DISPATCH_ALPHA", "0.5"))
-        beta = float(os.environ.get("RRT_DISPATCH_BETA", "2.5e-8"))
+        alpha, beta = self._planner_constants(
+            k, n, calls, lane_cost, n_seg, T)
         fixed = calls * alpha
 
         def est(kk, lanes):
@@ -292,6 +325,7 @@ class Renderer:
                checkpoint_every: Optional[int] = None,
                preview_path=None, preview_every: Optional[int] = None,
                resume: bool = False, stop_after: Optional[int] = None,
+               control=None,
                ) -> Tuple[np.ndarray, np.ndarray]:
         """Render `region` (default full frame). Returns
         (hdr (rh,rw,3), sample_count (rh,rw)).
@@ -301,6 +335,11 @@ class Renderer:
         preview_path/-_every: write a progressive PNG every N samples.
         stop_after: cancel after that many samples (test hook for the
         cancellation path).
+        control: optional mutable mapping polled between passes — the
+        runtime key_press analog (pathtracer.cpp:463-547) driven by
+        `--serve`'s POST /control: {"stop": True} cancels cleanly,
+        {"spp_cap": N} finishes early at N samples/pixel,
+        {"preview_every": N} changes the preview cadence live.
         """
         cfg = self.cfg
         if region is None:
@@ -358,10 +397,19 @@ class Renderer:
                 if checkpoint_path and checkpoint_every \
                         and s // checkpoint_every > (s - ks) // checkpoint_every:
                     self.save_checkpoint(checkpoint_path, accs, s, region)
-                if preview_path and preview_every and s < cfg.ns_aa \
-                        and s // preview_every > (s - ks) // preview_every:
+                pv_every = preview_every
+                spp_cap = None
+                if control is not None:
+                    # runtime control (pathtracer.cpp:463-547 analog)
+                    if control.get("stop"):
+                        self._stop = True
+                    pv_every = control.get("preview_every", preview_every)
+                    spp_cap = control.get("spp_cap")
+                if preview_path and pv_every and s < cfg.ns_aa \
+                        and s // pv_every > (s - ks) // pv_every:
                     self._write_preview(preview_path, accs, region)
                 if (stop_after is not None and s >= stop_after) \
+                        or (spp_cap is not None and s >= int(spp_cap)) \
                         or self._stop:
                     cancelled = True
                     break

@@ -1,12 +1,19 @@
-"""`--serve`: watch a render in a browser — the headless analog of the
-reference's interactive progressive display (`CGL/src/viewer.cpp:142-170`
+"""`--serve`: watch AND control a render from a browser — the headless
+analog of the reference's interactive viewer (`CGL/src/viewer.cpp:142-170`
 GLFW loop + `PathTracer::update_screen` glDrawPixels blit,
-`pathtracer.cpp:156-178`).
+`pathtracer.cpp:156-178`) including its runtime key_press parameter
+control (`pathtracer.cpp:463-547`).
 
 A tiny stdlib HTTP server runs in a daemon thread and serves:
-  /             an auto-refreshing page showing the progressive preview
+  /             an auto-refreshing page: progressive preview + controls
   /preview.png  the current preview PNG bytes (no-cache)
   /status.json  {"samples": n, "total": m, "done": bool}
+  /control      POST {"action":"stop"} | {"spp_cap": N} |
+                {"preview_every": N} — the key_press analog: stop the
+                render cleanly, cap samples/pixel live, or change the
+                preview cadence. State lands in `self.control`, a dict
+                the renderer polls between passes
+                (`Renderer.render(control=...)`).
 
 The renderer keeps writing its progressive preview PNG between passes
 (`Renderer.render(preview_path=...)`); the page re-fetches it every
@@ -17,7 +24,6 @@ from __future__ import annotations
 
 import http.server
 import json
-import os
 import threading
 
 
@@ -25,12 +31,26 @@ _PAGE = """<!doctype html>
 <html><head><title>rrt_tpu render</title><style>
 body {{ background:#111; color:#ccc; font-family:monospace;
         text-align:center; }}
-img {{ image-rendering:pixelated; max-width:95vw; max-height:85vh;
+img {{ image-rendering:pixelated; max-width:95vw; max-height:80vh;
        border:1px solid #444; margin-top:1em; }}
+button, input {{ background:#222; color:#ccc; border:1px solid #555;
+       font-family:monospace; padding:2px 8px; margin:0 4px; }}
 </style></head><body>
 <div id="st">rendering…</div>
+<div style="margin-top:0.5em">
+  <button onclick="ctl({{action:'stop'}})">stop</button>
+  spp cap <input id="cap" size="5">
+  <button onclick="ctl({{spp_cap:+document.getElementById('cap').value}})">
+    set</button>
+  preview every <input id="pe" size="4">
+  <button onclick="ctl({{preview_every:
+    +document.getElementById('pe').value}})">set</button>
+</div>
 <img id="im" src="/preview.png">
 <script>
+function ctl(body) {{
+  fetch('/control', {{method:'POST', body:JSON.stringify(body)}});
+}}
 setInterval(() => {{
   fetch('/status.json').then(r => r.json()).then(s => {{
     document.getElementById('st').textContent =
@@ -44,16 +64,49 @@ setInterval(() => {{
 
 
 class PreviewServer:
-    """Serve `png_path` + progress on `port` (0 = ephemeral)."""
+    """Serve `png_path` + progress + a control channel on `port`
+    (0 = ephemeral)."""
 
     def __init__(self, png_path: str, port: int = 8000):
         self.png_path = png_path
         self.status = {"samples": 0, "total": 0, "done": False}
+        # written by POST /control, polled by Renderer.render(control=...)
+        self.control: dict = {}
         outer = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def log_message(self, *a):          # quiet
                 pass
+
+            def _reply(self, body, ctype):
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path.split("?")[0] != "/control":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                if req.get("action") == "stop":
+                    outer.control["stop"] = True
+                for key in ("spp_cap", "preview_every"):
+                    if isinstance(req.get(key), (int, float)) \
+                            and req[key] > 0:
+                        outer.control[key] = int(req[key])
+                self._reply(json.dumps(
+                    {"ok": True, "control": outer.control}).encode(),
+                    "application/json")
 
             def do_GET(self):
                 path = self.path.split("?")[0]
@@ -76,12 +129,7 @@ class PreviewServer:
                     self.send_response(404)
                     self.end_headers()
                     return
-                self.send_response(200)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(body)))
-                self.send_header("Cache-Control", "no-store")
-                self.end_headers()
-                self.wfile.write(body)
+                self._reply(body, ctype)
 
         self._httpd = http.server.ThreadingHTTPServer(
             ("0.0.0.0", port), Handler)

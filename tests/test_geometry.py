@@ -81,7 +81,7 @@ def test_closest_hit_brute_matches_oracle_scene():
     # rays from inside the box
     o = rng.uniform(-0.8, 0.8, (N, 3)) * np.array([1, 0.5, 1]) + [0, 0.75, 0]
     d = _rand_unit(rng, N)
-    hit, t, pid, b1, b2 = jax.jit(
+    hit, t, pid, b1, b2, _st = jax.jit(
         lambda o, d, mn, mx: I.closest_hit_brute(scene, o, d, mn, mx, 64))(
         o.astype(np.float32), d.astype(np.float32),
         np.zeros(N, np.float32), np.full(N, 1e9, np.float32))
