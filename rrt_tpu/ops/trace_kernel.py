@@ -84,14 +84,50 @@ def _cs_k(n_tris: int) -> int:
 # temporary perf-ablation switch: "nophase2" skips traversal entirely
 # (march only); "noexec" gates but skips triangle execution
 _ABLATE = _os.environ.get("RRT_ABLATE", "")
+# Gating mode (r5): "box" replaces every part/supercluster/cluster
+# vector-slab gate with a PURE-SCALAR box-overlap test of the cluster box
+# (already in SMEM) against a per-(sub-row, window) chord AABB computed
+# once in phase 1 and stored in SMEM scratch. The r5 cost probe
+# (tools/r5probe.py) measured each vector gate at ~270 cycles — ~15
+# vector slab ops plus a vector→scalar max-reduce pipeline sync plus the
+# branch — and gating at 47-52% of total kernel time, vs 3-28% for the
+# triangle sweep itself. Scalar box-box tests run in the scalar unit with
+# NO vector sync (~10 ops), so gate cost collapses; the looser AABB (the
+# union of a row's 8 chords vs each exact chord) costs extra triangle
+# work, bounded by the optional precise vector slab kept for clusters
+# that pass the prefilter ("boxp" = box prefilter + precise slab;
+# "box" = prefilter only). "slab" = the r4 per-gate vector slabs.
+_GATE = _os.environ.get("RRT_GATE", "slab")
+# Traversal state mode (r5): "ref" accumulates the per-part best (t, prim)
+# in VMEM scratch refs so every culling branch carries ZERO vector state
+# (a lax.cond whose branches carry (8,128) registers forces
+# materialization across the branch); "carry" is the r4 loop-carried
+# form. Measured on-chip (tools/r5probe3.py, CBbunny 65k rays): ref ==
+# carry to within noise (79.3 vs 79.6 ms coherent, bit-identical
+# results) — branch-carried vector state is NOT the per-gate cost, so
+# the proven carry form stays the default.
+_SCAN = _os.environ.get("RRT_SCAN", "carry")
+
+
+def _sbox_overlap(wb, ref, i):
+    """Scalar box-overlap: does the window chord AABB `wb` (6 scalars,
+    lo xyz / hi xyz) touch box row i of the SMEM table `ref` (lo xyz in
+    cols 0-2, hi in 3-5)? Pure scalar-unit ops — no vector sync. An
+    inverted window box (no valid chords: lo=+BIG, hi=-BIG) fails
+    naturally, as do the point-at-+BIG padding boxes."""
+    wlx, wly, wlz, whx, why, whz = wb
+    return ((wlx <= ref[i, 3]) & (whx >= ref[i, 0])
+            & (wly <= ref[i, 4]) & (why >= ref[i, 1])
+            & (wlz <= ref[i, 5]) & (whz >= ref[i, 2]))
 
 
 def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
                      sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
-                     nisect_ref, ncull_ref, wchords, ltouch, pbox_ref,
-                     cl_ref, sup_ref, trow_ref, scan_part, slab,
+                     nisect_ref, ncull_ref, wchords, ltouch, wbox, pbox_ref,
+                     cl_ref, sup_ref, trow_ref, scan_part, scan_part_box,
+                     slab,
                      *, p, P, S, n_seg, cluster_size, blocked,
-                     occlusion):
+                     occlusion, gate_mode):
     """Segment-windowed curved traversal (kernel v3).
 
     The v2 loop broadcasts each culling/intersection op over ONE chord
@@ -154,16 +190,24 @@ def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
                 tmax_eff = jnp.where(
                     lt_c, clen,
                     jnp.where(eq_c, jnp.minimum(clen, cur_t), -1.0))
-            part_reach = slab(
-                pbox_ref[p, 0], pbox_ref[p, 1], pbox_ref[p, 2],
-                pbox_ref[p, 3], pbox_ref[p, 4], pbox_ref[p, 5],
-                cox, coy, coz, 1.0 / cdx, 1.0 / cdy, 1.0 / cdz,
-                jnp.zeros((8, 128), jnp.float32), tmax_eff)
-            ncull_ref[0, pl.ds(r, 1)] = ncull_ref[0, pl.ds(r, 1)] + 8
-            do_tris = jnp.max(part_reach.astype(jnp.float32)) > 0.0
-            any_improv = jnp.max(
-                (tmax_eff >= 0.0).astype(jnp.float32)) > 0.0
+            if gate_mode != "slab" and not blocked:
+                # scalar box-prefilter part gate: the window chord AABB
+                # (phase-1 SMEM scratch) vs the part box — no vector sync
+                wb = tuple(wbox[w, r, c] for c in range(6))
+                ncull_ref[0, pl.ds(r, 1)] = ncull_ref[0, pl.ds(r, 1)] + 1
+                do_tris = _sbox_overlap(wb, pbox_ref, p)
+            else:
+                wb = None
+                part_reach = slab(
+                    pbox_ref[p, 0], pbox_ref[p, 1], pbox_ref[p, 2],
+                    pbox_ref[p, 3], pbox_ref[p, 4], pbox_ref[p, 5],
+                    cox, coy, coz, 1.0 / cdx, 1.0 / cdy, 1.0 / cdz,
+                    jnp.zeros((8, 128), jnp.float32), tmax_eff)
+                ncull_ref[0, pl.ds(r, 1)] = ncull_ref[0, pl.ds(r, 1)] + 8
+                do_tris = jnp.max(part_reach.astype(jnp.float32)) > 0.0
             if S > 0:
+                any_improv = jnp.max(
+                    (tmax_eff >= 0.0).astype(jnp.float32)) > 0.0
                 gate = do_tris | ((p == 0) & any_improv)
             else:
                 gate = do_tris
@@ -207,13 +251,26 @@ def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
                 st(sdy_ref, pick(cdy))
                 st(sdz_ref, pick(cdz))
 
+            if _ABLATE == "nosub":
+                # ablation: window-loop machinery + part gate only (no
+                # supercluster/cluster/triangle work) — isolates the
+                # per-window fixed cost
+                return (w + 1, improv_at(w + 1))
             if not blocked:
                 @pl.when(gate)
                 def _():
-                    bt, bp = scan_part(
-                        cox, coy, coz, cdx, cdy, cdz,
-                        jnp.zeros((8, 128), jnp.float32), tmax_eff,
-                        do_tris=do_tris)
+                    if gate_mode != "slab":
+                        bt, bp, cnt = scan_part_box(
+                            cox, coy, coz, cdx, cdy, cdz,
+                            jnp.zeros((8, 128), jnp.float32), tmax_eff,
+                            do_tris=do_tris, wb=wb)
+                        ncull_ref[0, pl.ds(r, 1)] = \
+                            ncull_ref[0, pl.ds(r, 1)] + cnt
+                    else:
+                        bt, bp = scan_part(
+                            cox, coy, coz, cdx, cdy, cdz,
+                            jnp.zeros((8, 128), jnp.float32), tmax_eff,
+                            do_tris=do_tris)
                     reduce_merge(bt, bp)
             else:
                 # spheres (global, part 0) ride the shared window-tile pass
@@ -398,6 +455,13 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                                      # the windowed sweep: [w,c,r,s%8,:]
             ltouch,                  # VMEM scratch (1,8,128) i32: last seg
                                      # whose chord touches the scene bbox
+            wbox,                    # SMEM scratch (n_win,8,6): per
+                                     # (window, sub-row) chord AABB for
+                                     # the scalar box gates (gate "box*")
+            bts_ref, bps_ref,        # VMEM scratch (1,8,128): the running
+                                     # best (t, prim) of one scan_part
+                                     # call (_SCAN == "ref": culling
+                                     # branches carry no vector state)
             *, curved: bool, n_seg: int, n_tri_rows: int,
             cluster_size: int, n_parts: int, windowed: bool,
             blocked: bool, part_rows: int, occlusion: bool):
@@ -405,6 +469,9 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
     cpp = cl_ref.shape[0]            # clusters in this part
     S = sph_ref.shape[0]
     p = pl.program_id(1) if n_parts > 1 else 0
+    # scalar box-prefilter gating serves the windowed scalar-sweep path;
+    # v2/flat/blocked keep the r4 vector-slab gates
+    gate_mode = _GATE if (windowed and not blocked) else "slab"
 
     bh_px = bhp_ref[0, 0]
     bh_py = bhp_ref[0, 1]
@@ -562,6 +629,15 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 return jax.lax.fori_loop(
                     k * cluster_size, (k + 1) * cluster_size, tri_body, c)
 
+            if _SCAN == "ref":
+                # zero-carry branch: the running best lives in VMEM
+                # scratch, so the cond materializes no vector state
+                @pl.when(pred)
+                def _():
+                    bt, bp = do((bts_ref[0], bps_ref[0]))
+                    bts_ref[0] = bt
+                    bps_ref[0] = bp
+                return carry
             return jax.lax.cond(pred, do, lambda c: c, carry)
 
         def super_body(u, carry):
@@ -575,6 +651,11 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 return jax.lax.fori_loop(
                     u * SUP, (u + 1) * SUP, cluster_body, c)
 
+            if _SCAN == "ref":
+                @pl.when(pred)
+                def _():
+                    do(jnp.int32(0))
+                return carry
             return jax.lax.cond(pred, do, lambda c: c, carry)
 
         def sph_body(si, carry):
@@ -603,15 +684,160 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             return (jnp.where(closer, t_m, best_t),
                     jnp.where(closer, n_tri_rows + si, best_p))
 
+        n_sup = cpp // SUP
+        if _SCAN == "ref":
+            bts_ref[0] = jnp.full((8, 128), BIG, jnp.float32)
+            bps_ref[0] = jnp.full((8, 128), -1, jnp.int32)
+
+            @pl.when(do_tris)
+            def _():
+                jax.lax.fori_loop(0, n_sup, super_body, jnp.int32(0))
+            if S > 0:
+                # spheres are global: test them once, on part 0
+                @pl.when(p == 0)
+                def _():
+                    bt, bp = jax.lax.fori_loop(
+                        0, S, sph_body, (bts_ref[0], bps_ref[0]))
+                    bts_ref[0] = bt
+                    bps_ref[0] = bp
+            return (bts_ref[0], bps_ref[0])
         carry = (jnp.full((8, 128), BIG, jnp.float32),
                  jnp.full((8, 128), -1, jnp.int32))
-        n_sup = cpp // SUP
         carry = jax.lax.cond(
             do_tris,
             lambda c: jax.lax.fori_loop(0, n_sup, super_body, c),
             lambda c: c, carry)
         if S > 0:
             # spheres are global: test them once, on part 0
+            carry = jax.lax.cond(
+                p == 0,
+                lambda c: jax.lax.fori_loop(0, S, sph_body, c),
+                lambda c: c, carry)
+        return carry
+
+    def scan_part_box(px, py, pz, ux, uy, uz, tmin, tmax, do_tris, wb):
+        """Box-prefilter traversal of this part (gate modes "box"/"boxp",
+        r5): every supercluster/cluster gate is a PURE-SCALAR box-overlap
+        test of the SMEM box tables against `wb`, this sub-row window's
+        chord AABB — no vector ops, no vector→scalar sync (the r5 probe
+        measured the old per-gate vector slab + max-reduce + branch at
+        ~270 cycles, 47-52% of kernel time). "boxp" additionally keeps
+        one precise vector slab per surviving cluster to bound the extra
+        triangle work the looser window AABB lets through. Returns
+        (best_t, best_p, n_gate_tests) — the scalar test count is charged
+        to ncull by the caller, once per window."""
+        inv_x = 1.0 / ux
+        inv_y = 1.0 / uy
+        inv_z = 1.0 / uz
+        precise = _GATE == "boxp"
+
+        def tri_body(ti, carry):
+            best_t, best_p = carry
+            v0x = tri_ref[0, ti]
+            v0y = tri_ref[1, ti]
+            v0z = tri_ref[2, ti]
+            e1x = tri_ref[3, ti]
+            e1y = tri_ref[4, ti]
+            e1z = tri_ref[5, ti]
+            e2x = tri_ref[6, ti]
+            e2y = tri_ref[7, ti]
+            e2z = tri_ref[8, ti]
+            valid = tri_ref[9, ti] > 0.0
+            sx = px - v0x
+            sy = py - v0y
+            sz = pz - v0z
+            s1x = uy * e2z - uz * e2y
+            s1y = uz * e2x - ux * e2z
+            s1z = ux * e2y - uy * e2x
+            s2x = sy * e1z - sz * e1y
+            s2y = sz * e1x - sx * e1z
+            s2z = sx * e1y - sy * e1x
+            denom = s1x * e1x + s1y * e1y + s1z * e1z
+            okd = denom != 0.0
+            inv = 1.0 / jnp.where(okd, denom, 1.0)
+            t = (s2x * e2x + s2y * e2y + s2z * e2z) * inv
+            b1 = (s1x * sx + s1y * sy + s1z * sz) * inv
+            b2 = (s2x * ux + s2y * uy + s2z * uz) * inv
+            b0 = 1.0 - b1 - b2
+            ok = (okd & valid & (t >= tmin) & (t <= tmax)
+                  & (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0))
+            t_m = jnp.where(ok, t, BIG)
+            closer = t_m < best_t
+            return (jnp.where(closer, t_m, best_t),
+                    jnp.where(closer, ti, best_p))
+
+        def sweep(k, c):
+            bt, bp, cnt = c
+            nisect_ref[0] = nisect_ref[0] + cluster_size
+            if _ABLATE == "noexec":
+                return (bt, bp, cnt)
+            bt, bp = jax.lax.fori_loop(
+                k * cluster_size, (k + 1) * cluster_size, tri_body,
+                (bt, bp))
+            return (bt, bp, cnt)
+
+        def cluster_body(k, carry):
+            pred = _sbox_overlap(wb, cl_ref, k)
+
+            def do(c):
+                bt, bp, cnt = c
+                if precise:
+                    reach = slab(
+                        cl_ref[k, 0], cl_ref[k, 1], cl_ref[k, 2],
+                        cl_ref[k, 3], cl_ref[k, 4], cl_ref[k, 5],
+                        px, py, pz, inv_x, inv_y, inv_z, tmin, tmax)
+                    pred2 = jnp.max(reach.astype(jnp.float32)) > 0.0
+                    return jax.lax.cond(pred2, lambda cc: sweep(k, cc),
+                                        lambda cc: cc, (bt, bp, cnt + 1))
+                return sweep(k, (bt, bp, cnt))
+
+            bt, bp, cnt = carry
+            return jax.lax.cond(pred, do, lambda c: c,
+                                (bt, bp, cnt + 1))
+
+        def super_body(u, carry):
+            pred = _sbox_overlap(wb, sup_ref, u)
+            bt, bp, cnt = carry
+            return jax.lax.cond(
+                pred,
+                lambda c: jax.lax.fori_loop(u * SUP, (u + 1) * SUP,
+                                            cluster_body, c),
+                lambda c: c, (bt, bp, cnt + 1))
+
+        def sph_body(si, carry):
+            best_t, best_p, cnt = carry
+            nisect_ref[0] = nisect_ref[0] + 1
+            cx = sph_ref[si, 0]
+            cy = sph_ref[si, 1]
+            cz = sph_ref[si, 2]
+            r = sph_ref[si, 3]
+            tx = px - cx
+            ty = py - cy
+            tz = pz - cz
+            b = 2.0 * (tx * ux + ty * uy + tz * uz)
+            c = tx * tx + ty * ty + tz * tz - r * r
+            disc = b * b - 4.0 * c
+            has = (disc >= 0.0) & (r > 0.0)
+            sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+            t1 = (-b - sq) * 0.5
+            t2 = (-b + sq) * 0.5
+            ok1 = (t1 >= tmin) & (t1 <= tmax)
+            ok2 = (t2 >= tmin) & (t2 <= tmax)
+            ts = jnp.where(ok1, t1, t2)
+            ok = has & (ok1 | ok2)
+            t_m = jnp.where(ok, ts, BIG)
+            closer = t_m < best_t
+            return (jnp.where(closer, t_m, best_t),
+                    jnp.where(closer, n_tri_rows + si, best_p), cnt)
+
+        carry = (jnp.full((8, 128), BIG, jnp.float32),
+                 jnp.full((8, 128), -1, jnp.int32), jnp.int32(0))
+        n_sup = cpp // SUP
+        carry = jax.lax.cond(
+            do_tris,
+            lambda c: jax.lax.fori_loop(0, n_sup, super_body, c),
+            lambda c: c, carry)
+        if S > 0:
             carry = jax.lax.cond(
                 p == 0,
                 lambda c: jax.lax.fori_loop(0, S, sph_body, c),
@@ -709,6 +935,32 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             fin = jax.lax.while_loop(cond, body, init)
             end_seg, abs_f, last_t = fin[8], fin[9], fin[10]
             ltouch[0] = last_t
+            if windowed and gate_mode != "slab":
+                # Per-(window, sub-row) chord AABBs → SMEM scratch, read
+                # by phase 2's scalar box gates. Chords with clen == 0
+                # (dead/padded/masked lanes — all provably past their
+                # lane's ltouch) and stale slots beyond the march's early
+                # exit (sidx > every lane's ltouch) are excluded; a
+                # window/row with no valid chord stores an inverted box,
+                # which every scalar overlap test fails.
+                i_sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                n_win_s = -(-n_seg // 8)
+                for w in range(n_win_s):
+                    sidx_w = i_sub8 + w * 8
+                    for r in range(8):
+                        lt_r = jax.lax.slice(last_t, (r, 0), (r + 1, 128))
+                        cc = [wchords[w, c2, r] for c2 in range(7)]
+                        cox_, coy_, coz_, cdx_, cdy_, cdz_, cl_ = cc
+                        val = (cl_ > 0.0) & (sidx_w <= lt_r)
+                        exx = cox_ + cdx_ * cl_
+                        exy = coy_ + cdy_ * cl_
+                        exz = coz_ + cdz_ * cl_
+                        for c2, (a, b2) in enumerate(
+                                ((cox_, exx), (coy_, exy), (coz_, exz))):
+                            wbox[w, r, c2] = jnp.min(jnp.where(
+                                val, jnp.minimum(a, b2), BIG))
+                            wbox[w, r, c2 + 3] = jnp.max(jnp.where(
+                                val, jnp.maximum(a, b2), -BIG))
             nisect_ref[0] = jnp.zeros((8, 128), jnp.int32)
             ncull_ref[0] = jnp.zeros((8, 128), jnp.int32)
             # seed the merge state: absorption (or death) bounds the
@@ -730,11 +982,12 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             _phase2_windowed(
                 hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
                 sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
-                nisect_ref, ncull_ref, wchords, ltouch, pbox_ref,
-                cl_ref, sup_ref, trow_ref, scan_part, slab,
+                nisect_ref, ncull_ref, wchords, ltouch, wbox, pbox_ref,
+                cl_ref, sup_ref, trow_ref, scan_part, scan_part_box,
+                slab,
                 p=p, P=P, S=S, n_seg=n_seg,
                 cluster_size=cluster_size, blocked=blocked,
-                occlusion=occlusion)
+                occlusion=occlusion, gate_mode=gate_mode)
             return
 
         # v2 layout: loop segments while any lane can still improve on the
@@ -1038,6 +1291,9 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
         out_shape=tuple(out_shapes),
         scratch_shapes=[pltpu.VMEM((n_chord, 7, 8, 128), jnp.float32),
                         pltpu.VMEM((n_win, 7, 8, 8, 128), jnp.float32),
+                        pltpu.VMEM((1, 8, 128), jnp.int32),
+                        pltpu.SMEM((n_win, 8, 6), jnp.float32),
+                        pltpu.VMEM((1, 8, 128), jnp.float32),
                         pltpu.VMEM((1, 8, 128), jnp.int32)],
         interpret=interpret,
     )(bhp, *ray_ins, tri_tab, cl_tab, sup_tab, trow_tab, sph_tab, pbox_tab)

@@ -49,7 +49,8 @@ def _n_seg(cfg: RenderConfig):
 STATS0 = jnp.zeros(2, jnp.float32)  # [prim tests, bbox tests] measured
 
 
-def _trace(scene, bh, rays, cfg: RenderConfig, sort_hint="dir"):
+def _trace(scene, bh, rays, cfg: RenderConfig, sort_hint="dir",
+           mesh=None):
     """Closest hit for radiance: under autodiff, the fast discrete primal
     (Pallas kernel on TPU) + differentiable reconstruction
     (`trace_diff`); otherwise the fast path directly.
@@ -61,16 +62,17 @@ def _trace(scene, bh, rays, cfg: RenderConfig, sort_hint="dir"):
                                  backend=cfg.trace_backend), STATS0
     return tracer.trace(scene, bh, rays, n_seg=_n_seg(cfg),
                         backend=cfg.trace_backend, return_stats=True,
-                        sort_hint=sort_hint)
+                        sort_hint=sort_hint, mesh=mesh)
 
 
-def _trace_discrete(scene, bh, rays, cfg: RenderConfig):
+def _trace_discrete(scene, bh, rays, cfg: RenderConfig, mesh=None):
     """Closest hit whose continuous payload is never differentiated (only
     hit masks / bsdf ids are consumed): always use the fast path with
     detached inputs. Returns (Hit, measured work counters)."""
     sg = lambda t: jax.tree_util.tree_map(jax.lax.stop_gradient, t)
     return tracer.trace(sg(scene), sg(bh), sg(rays), n_seg=_n_seg(cfg),
-                        backend=cfg.trace_backend, return_stats=True)
+                        backend=cfg.trace_backend, return_stats=True,
+                        mesh=mesh)
 
 
 def _mask_rays(rays: Rays, active, bh) -> Rays:
@@ -91,6 +93,7 @@ def direct_lighting_importance(
     hit: Hit,
     cfg: RenderConfig,
     key,
+    mesh=None,
 ) -> jnp.ndarray:
     """estimate_direct_lighting_importance (part1_code.cpp:33-57) for a
     batch of shading points: per light ℓ, 1 (delta) or ns_area_light
@@ -141,7 +144,7 @@ def direct_lighting_importance(
         # path stays usable under autodiff (visibility grads out of scope)
         occ, tstats = tracer.occluded(
             scene, bh, shadow, n_seg=_n_seg(cfg),
-            backend=cfg.trace_backend, return_stats=True)
+            backend=cfg.trace_backend, return_stats=True, mesh=mesh)
         f_val = bsdflib.evaluate(
             scene.bsdfs, hit.bsdf_id[None], wo[None], wi_l)
         contrib = rad * f_val * (wi_l[..., 2:3]) / pdf[..., None]
@@ -177,6 +180,7 @@ def direct_lighting_hemisphere(
     hit: Hit,
     cfg: RenderConfig,
     key,
+    mesh=None,
 ) -> jnp.ndarray:
     """estimate_direct_lighting_hemisphere (part1_code.cpp:15-31): uniform
     hemisphere sampling, emission of whatever is hit."""
@@ -202,7 +206,7 @@ def direct_lighting_hemisphere(
     )
     # only h2.hit / h2.bsdf_id are consumed; the emission gather below
     # reads the LIVE (differentiable) bsdf table
-    h2, tstats = _trace_discrete(scene, bh, rays, cfg)
+    h2, tstats = _trace_discrete(scene, bh, rays, cfg, mesh)
     emit = bsdflib.emission(scene.bsdfs, h2.bsdf_id)
     f_val = bsdflib.evaluate(scene.bsdfs, hit.bsdf_id[None], wo[None], wi_l)
     contrib = emit * f_val * wi_l[..., 2:3]
@@ -211,10 +215,10 @@ def direct_lighting_hemisphere(
             tstats)
 
 
-def _direct(scene, bh, hit, cfg, key):
+def _direct(scene, bh, hit, cfg, key, mesh=None):
     if cfg.direct_hemisphere_sample:
-        return direct_lighting_hemisphere(scene, bh, hit, cfg, key)
-    return direct_lighting_importance(scene, bh, hit, cfg, key)
+        return direct_lighting_hemisphere(scene, bh, hit, cfg, key, mesh)
+    return direct_lighting_importance(scene, bh, hit, cfg, key, mesh)
 
 
 def est_radiance(
@@ -224,13 +228,14 @@ def est_radiance(
     cfg: RenderConfig,
     key,
     with_stats: bool = False,
+    mesh=None,
 ):
     """est_radiance_global_illumination (part1_code.cpp:103-123) for a flat
     batch of camera rays. Returns (..., 3) radiance; with_stats=True also
     returns the summed (2,) measured trace-work counters of every trace
     this estimate issued (kernel-measured; see geometry.trace.trace)."""
     ret = (lambda L, st: (L, st)) if with_stats else (lambda L, st: L)
-    hit, stats = _trace(scene, bh, rays, cfg)
+    hit, stats = _trace(scene, bh, rays, cfg, mesh=mesh)
     miss = ~hit.hit
 
     if scene.env is not None:
@@ -246,7 +251,7 @@ def est_radiance(
 
     if cfg.illum == Illum.DIRECT:
         key, k = jax.random.split(key)
-        Ld, st_d = _direct(scene, bh, hit, cfg, k)
+        Ld, st_d = _direct(scene, bh, hit, cfg, k, mesh)
         return ret(L + Ld, stats + st_d)
 
     md = cfg.max_ray_depth
@@ -274,7 +279,7 @@ def est_radiance(
 
         do_nee = alive & ~delta
         if not (first and cfg.illum == Illum.INDIRECT):
-            nee, st_n = _direct(scene, bh, hit, cfg, k_nee)
+            nee, st_n = _direct(scene, bh, hit, cfg, k_nee, mesh)
             L = L + jnp.where(do_nee[..., None], beta * nee, 0.0)
             stats = stats + st_n
 
@@ -299,7 +304,7 @@ def est_radiance(
             max_t=jnp.full_like(hit.t, jnp.inf),
         )
         nxt = _mask_rays(nxt, cont, bh)
-        h2, st_b = _trace(scene, bh, nxt, cfg)
+        h2, st_b = _trace(scene, bh, nxt, cfg, mesh=mesh)
         stats = stats + st_b
         cont = cont & h2.hit
         w = smp.value * (jnp.abs(smp.wi[..., 2:3])

@@ -66,6 +66,12 @@ class Renderer:
         self.cfg = cfg
         self.bh = make_black_hole(cfg)
         self.sharding = sharding
+        # shard_map mesh for the trace: every traversal reshape/sort runs
+        # shard-local (no cross-device collectives; see trace._trace_sharded)
+        self.mesh = sharding.mesh if sharding is not None else None
+        self.lane_axis = (sharding.spec[0]
+                          if sharding is not None and sharding.spec
+                          else "batch")
         self._pass_fns = {}  # (samples-per-pass k, rw, rh) -> jitted fn
         self._stop = False
         from rrt_tpu.utils.stats import PhaseTimer
@@ -148,7 +154,7 @@ class Renderer:
         if self.sharding is not None:
             rays = jax.lax.with_sharding_constraint(rays, self.sharding)
         L, tstats = est_radiance(self.scene, self.bh, rays, cfg, k_rad,
-                                 with_stats=True)
+                                 with_stats=True, mesh=self.mesh)
         L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
         L = L.reshape(k, n, 3)
         L = jnp.where(valid_k[:, None, None], L, 0.0)

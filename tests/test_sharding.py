@@ -71,6 +71,48 @@ def test_sharded_grads_allreduce():
         np.asarray(g_single.emission), rtol=1e-4, atol=1e-7)
 
 
+def test_shard_map_trace_matches_unsharded():
+    """The shard_map trace path (mesh=) must be bit-equal to the
+    unsharded render — per-lane results are independent of the batch,
+    including with lane counts NOT divisible by the mesh (dead-lane
+    padding)."""
+    for n_lanes in (512, 509):          # divisible and ragged
+        scene, cfg, rays = _setup(n_lanes)
+        for curved in (False, True):
+            c = cfg.replace(black_hole=BlackHoleConfig(enabled=curved))
+            bh = make_black_hole(c)
+            key = jax.random.key(11)
+            ref = np.asarray(jax.jit(
+                lambda r: est_radiance(scene, bh, r, c, key))(rays))
+            mesh = sh.make_mesh()
+            out = np.asarray(jax.jit(
+                lambda r: est_radiance(scene, bh, r, c, key,
+                                       mesh=mesh))(rays))
+            np.testing.assert_allclose(out, ref, atol=1e-6,
+                                       err_msg=f"curved={curved} "
+                                               f"n={n_lanes}")
+
+
+def test_traversal_collective_census():
+    """VERDICT r4 item 3 done-criterion: on an 8-device mesh the compiled
+    render contains ~0 all-gather/collective-permute — the traversal is
+    shard-local under shard_map (the only collective is the work-counter
+    psum and the final unpad reshard)."""
+    scene, cfg, rays = _setup(512)
+    mesh = sh.make_mesh()
+    rays_s = sh.shard_batch(rays, mesh)
+    for curved in (False, True):
+        c = cfg.replace(black_hole=BlackHoleConfig(enabled=curved))
+        bh = make_black_hole(c)
+        key = jax.random.key(11)
+        f = jax.jit(lambda r: est_radiance(scene, bh, r, c, key,
+                                           mesh=mesh))
+        txt = f.lower(rays_s).compile().as_text()
+        census = {k: txt.count(k) for k in
+                  ("all-gather", "collective-permute", "all-to-all")}
+        assert sum(census.values()) == 0, (curved, census)
+
+
 def test_renderer_stats_counts():
     from rrt_tpu.render.renderer import Renderer
     scene, cfg, _ = _setup()

@@ -200,7 +200,8 @@ def main_breakdown_worker(args):
         scene_d = jax.device_put(scene, repl)
         bh_d = jax.device_put(bh, repl) if bh is not None else None
 
-        fwd = jax.jit(lambda s, b, r: est_radiance(s, b, r, cfg, key))
+        fwd = jax.jit(lambda s, b, r: est_radiance(s, b, r, cfg, key,
+                                                   mesh=mesh))
         sharded_ms = timeit(fwd, scene_d, bh_d, rays_sh)
         txt = fwd.lower(scene_d, bh_d, rays_sh).compile().as_text()
         colls = {k: txt.count(k) for k in
