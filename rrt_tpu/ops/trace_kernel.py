@@ -77,10 +77,27 @@ SUP = 8
 
 
 def _cs_k(n_tris: int) -> int:
+    """Scene-adaptive kernel cluster size, swept END-TO-END (r5, CBbunny
+    512² 8spp GI proxy under the blk scan): cs8 4.68 s steady /
+    2588 tests/ray beats cs16 (5.13 s) and the old cs32 (6.06 s); cs4
+    reaches 1485 tests/ray but costs 11% more wall (the straight-line
+    supercluster predicate block grows to 64 slabs). Under the r4
+    carry scan the ordering was REVERSED (gates were ~300 cy each, so
+    coarse clusters won) — cluster size and gate mechanics must be swept
+    together. Small scenes keep 16 (cs8 measured equal within noise,
+    identical tests/ray). Pinned by tests/test_heuristics.py."""
     env = _os.environ.get("RRT_CSK")
     if env:
         return int(env)
-    return 32 if n_tris > 8192 else 16
+    return 8 if n_tris > 8192 else 16
+
+
+def _should_sort(n_lanes: int, n_clusters: int) -> bool:
+    """Lane-sort gate: the (octant, origin-Morton) sort pays only when
+    per-tile culling has clusters to skip AND the batch amortizes the
+    argsort (r3/r4 end-to-end sweeps; BASELINE.md sort-key study).
+    Pinned by tests/test_heuristics.py."""
+    return n_lanes >= 2048 and n_clusters >= 32
 # temporary perf-ablation switch: "nophase2" skips traversal entirely
 # (march only); "noexec" gates but skips triangle execution
 _ABLATE = _os.environ.get("RRT_ABLATE", "")
@@ -106,7 +123,20 @@ _GATE = _os.environ.get("RRT_GATE", "slab")
 # carry to within noise (79.3 vs 79.6 ms coherent, bit-identical
 # results) — branch-carried vector state is NOT the per-gate cost, so
 # the proven carry form stays the default.
-_SCAN = _os.environ.get("RRT_SCAN", "carry")
+# "blk" (r5): the per-gate cost (~300 cy measured) is serialized SMEM box
+# loads + a vector→scalar reduce sync + a branch PER CLUSTER; straight-
+# line vector code runs at ~1 cy/op. blk computes the 8 slab tests of a
+# supercluster block back-to-back (loads/ops pipeline, no intervening
+# branches), reduces the 8 predicates independently, then branches on
+# ready scalars — amortizing the sync/branch machinery 8×. Measured
+# on-chip (CBbunny kbench 65k rays, r5 → BASELINE.md): blk is
+# bit-identical to carry with identical culling decisions at 1.41×
+# coherent / 1.55× incoherent — the r5 default.
+_SCAN = _os.environ.get("RRT_SCAN", "blk")
+# windowed-chord re-layout site: "post" (default) = static-index pass
+# after the march; "march" = r4's in-loop dynamic stores (56 per
+# segment — measured the bulk of the march phase)
+_WREL = _os.environ.get("RRT_WREL", "post")
 
 
 def _sbox_overlap(wb, ref, i):
@@ -715,6 +745,124 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 lambda c: c, carry)
         return carry
 
+    def scan_part_blk(px, py, pz, ux, uy, uz, tmin, tmax, do_tris):
+        """Block-gated traversal (_SCAN == "blk"): same culling DECISIONS
+        as scan_part, restructured so the slab tests of a whole
+        supercluster block run straight-line (SMEM box loads and vector
+        ops pipeline with no intervening branches) and the branches then
+        test ready scalar predicates. The running best lives in the
+        bts/bps scratch refs, so no branch carries vector state. Results
+        are bit-identical to scan_part (identical tests, identical merge
+        order)."""
+        inv_x = 1.0 / ux
+        inv_y = 1.0 / uy
+        inv_z = 1.0 / uz
+
+        def tri_body(ti, carry):
+            best_t, best_p = carry
+            v0x = tri_ref[0, ti]
+            v0y = tri_ref[1, ti]
+            v0z = tri_ref[2, ti]
+            e1x = tri_ref[3, ti]
+            e1y = tri_ref[4, ti]
+            e1z = tri_ref[5, ti]
+            e2x = tri_ref[6, ti]
+            e2y = tri_ref[7, ti]
+            e2z = tri_ref[8, ti]
+            valid = tri_ref[9, ti] > 0.0
+            sx = px - v0x
+            sy = py - v0y
+            sz = pz - v0z
+            s1x = uy * e2z - uz * e2y
+            s1y = uz * e2x - ux * e2z
+            s1z = ux * e2y - uy * e2x
+            s2x = sy * e1z - sz * e1y
+            s2y = sz * e1x - sx * e1z
+            s2z = sx * e1y - sy * e1x
+            denom = s1x * e1x + s1y * e1y + s1z * e1z
+            okd = denom != 0.0
+            inv = 1.0 / jnp.where(okd, denom, 1.0)
+            t = (s2x * e2x + s2y * e2y + s2z * e2z) * inv
+            b1 = (s1x * sx + s1y * sy + s1z * sz) * inv
+            b2 = (s2x * ux + s2y * uy + s2z * uz) * inv
+            b0 = 1.0 - b1 - b2
+            ok = (okd & valid & (t >= tmin) & (t <= tmax)
+                  & (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0))
+            t_m = jnp.where(ok, t, BIG)
+            closer = t_m < best_t
+            return (jnp.where(closer, t_m, best_t),
+                    jnp.where(closer, ti, best_p))
+
+        def sph_body(si, carry):
+            best_t, best_p = carry
+            nisect_ref[0] = nisect_ref[0] + 1
+            cx = sph_ref[si, 0]
+            cy = sph_ref[si, 1]
+            cz = sph_ref[si, 2]
+            r = sph_ref[si, 3]
+            tx = px - cx
+            ty = py - cy
+            tz = pz - cz
+            b = 2.0 * (tx * ux + ty * uy + tz * uz)
+            c = tx * tx + ty * ty + tz * tz - r * r
+            disc = b * b - 4.0 * c
+            has = (disc >= 0.0) & (r > 0.0)
+            sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+            t1 = (-b - sq) * 0.5
+            t2 = (-b + sq) * 0.5
+            ok1 = (t1 >= tmin) & (t1 <= tmax)
+            ok2 = (t2 >= tmin) & (t2 <= tmax)
+            ts = jnp.where(ok1, t1, t2)
+            ok = has & (ok1 | ok2)
+            t_m = jnp.where(ok, ts, BIG)
+            closer = t_m < best_t
+            return (jnp.where(closer, t_m, best_t),
+                    jnp.where(closer, n_tri_rows + si, best_p))
+
+        def reach_pred(ref, i):
+            reach = slab(ref[i, 0], ref[i, 1], ref[i, 2],
+                         ref[i, 3], ref[i, 4], ref[i, 5],
+                         px, py, pz, inv_x, inv_y, inv_z, tmin, tmax)
+            return jnp.max(reach.astype(jnp.float32)) > 0.0
+
+        def sweep(k):
+            nisect_ref[0] = nisect_ref[0] + cluster_size
+            if _ABLATE == "noexec":
+                return
+            bt, bp = jax.lax.fori_loop(
+                k * cluster_size, (k + 1) * cluster_size, tri_body,
+                (bts_ref[0], bps_ref[0]))
+            bts_ref[0] = bt
+            bps_ref[0] = bp
+
+        bts_ref[0] = jnp.full((8, 128), BIG, jnp.float32)
+        bps_ref[0] = jnp.full((8, 128), -1, jnp.int32)
+        n_sup = cpp // SUP
+
+        @pl.when(do_tris)
+        def _():
+            ncull_ref[0] = ncull_ref[0] + n_sup
+            sup_preds = [reach_pred(sup_ref, u) for u in range(n_sup)]
+            for u in range(n_sup):
+                @pl.when(sup_preds[u])
+                def _(u=u):
+                    ncull_ref[0] = ncull_ref[0] + SUP
+                    cpreds = [reach_pred(cl_ref, u * SUP + j)
+                              for j in range(SUP)]
+                    for j in range(SUP):
+                        @pl.when(cpreds[j])
+                        def _(j=j, u=u):
+                            sweep(u * SUP + j)
+
+        if S > 0:
+            @pl.when(p == 0)
+            def _():
+                bt, bp = jax.lax.fori_loop(
+                    0, S, sph_body, (bts_ref[0], bps_ref[0]))
+                bts_ref[0] = bt
+                bps_ref[0] = bp
+        return (bts_ref[0], bps_ref[0])
+
     def scan_part_box(px, py, pz, ux, uy, uz, tmin, tmax, do_tris, wb):
         """Box-prefilter traversal of this part (gate modes "box"/"boxp",
         r5): every supercluster/cluster gate is a PURE-SCALAR box-overlap
@@ -896,11 +1044,11 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 chords[s, 4] = ndy
                 chords[s, 5] = ndz
                 chords[s, 6] = clen
-                if windowed:
-                    # windowed re-layout, written once here so the phase-2
-                    # window bodies read ONE (8,128) tile per component
-                    # instead of gathering 8 dynamic rows (8 sub-rows x
-                    # ~4 windows x n_parts gathers saved per tile)
+                if windowed and _WREL == "march":
+                    # legacy in-march windowed re-layout: 56 dynamic-index
+                    # (1,128) stores per segment — measured ~60% of the
+                    # march phase; the default now re-lays out post-march
+                    # with fully static indices (see below)
                     wi = s // 8
                     sw = s - wi * 8
                     for _c2, _v in enumerate(
@@ -935,6 +1083,26 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             fin = jax.lax.while_loop(cond, body, init)
             end_seg, abs_f, last_t = fin[8], fin[9], fin[10]
             ltouch[0] = last_t
+            if windowed and _WREL != "march":
+                # post-march windowed re-layout with fully STATIC
+                # indices: wchords[w,c,r] sublane i = chords[8w+i,c] row
+                # r. Replaces the per-segment dynamic stores inside the
+                # march loop (56 per step — measured the bulk of the
+                # march phase). Segments past an early march exit carry
+                # stale data, but phase 2 masks them via ltouch/tmax_eff
+                # and NaN-safe comparisons, exactly as before.
+                for w2 in range(-(-n_seg // 8)):
+                    for c2 in range(7):
+                        segs = [chords[min(8 * w2 + i2, n_seg - 1), c2]
+                                for i2 in range(8)]
+                        for r2 in range(8):
+                            rows = [jax.lax.slice(
+                                segs[i2], (r2, 0), (r2 + 1, 128))
+                                if 8 * w2 + i2 < n_seg else
+                                jnp.zeros((1, 128), jnp.float32)
+                                for i2 in range(8)]
+                            wchords[w2, c2, r2] = jnp.concatenate(
+                                rows, axis=0)
             if windowed and gate_mode != "slab":
                 # Per-(window, sub-row) chord AABBs → SMEM scratch, read
                 # by phase 2's scalar box gates. Chords with clen == 0
@@ -983,8 +1151,9 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
                 sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
                 nisect_ref, ncull_ref, wchords, ltouch, wbox, pbox_ref,
-                cl_ref, sup_ref, trow_ref, scan_part, scan_part_box,
-                slab,
+                cl_ref, sup_ref, trow_ref,
+                scan_part_blk if _SCAN == "blk" else scan_part,
+                scan_part_box, slab,
                 p=p, P=P, S=S, n_seg=n_seg,
                 cluster_size=cluster_size, blocked=blocked,
                 occlusion=occlusion, gate_mode=gate_mode)
@@ -1037,7 +1206,7 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
 
             @pl.when(gate)
             def _():
-                bt, bp = scan_part(
+                bt, bp = (scan_part_blk if _SCAN == "blk" else scan_part)(
                     cox, coy, coz, cdx, cdy, cdz,
                     jnp.zeros((8, 128), jnp.float32), tmax_eff,
                     do_tris=do_tris)
@@ -1084,8 +1253,9 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
 
         @pl.when(do_tris | (p == 0))
         def _():
-            bt, bp = scan_part(ox, oy, oz, dx, dy, dz, mint_ref[0],
-                               tmax_eff, do_tris=do_tris)
+            bt, bp = (scan_part_blk if _SCAN == "blk" else scan_part)(
+                ox, oy, oz, dx, dy, dz, mint_ref[0],
+                tmax_eff, do_tris=do_tris)
             merge_update(jnp.zeros((8, 128), jnp.int32), bt, bp,
                          ox, oy, oz, dx, dy, dz)
 
@@ -1347,7 +1517,7 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
     n_lanes = flat_rays.o.shape[0]
     # sorting pays on BVH-scale scenes where per-tile culling matters;
     # on few-cluster scenes it is pure overhead — gate on cluster count
-    sort = (n_lanes >= 2048 and scene.cluster_lo.shape[0] >= 32
+    sort = (_should_sort(n_lanes, scene.cluster_lo.shape[0])
             and os.environ.get("RRT_TRACE_SORT", "1") != "0")
     if sort:
         from rrt_tpu.geometry.trace import _morton7, _scene_bbox

@@ -86,13 +86,38 @@ class Renderer:
         """One compiled program serves every pass of the render: the
         region/band origin and the number of live samples are dynamic
         arguments, so cells, row bands and the tail pass all share it
-        (no per-shape recompiles)."""
+        (no per-shape recompiles).
+
+        On TPU the compiled executable is additionally cached ON DISK
+        across processes (utils/aot_cache): the JAX persistent cache
+        never hits for Mosaic programs on the tunneled environments this
+        targets, so a repeated render of the same config previously paid
+        the full 20-300 s remote compile every process."""
         fn = self._pass_fns.get((k, rw, rh))
         if fn is None:
-            fn = jax.jit(
+            jfn = jax.jit(
                 functools.partial(self._sample_pass, k=k, rw=rw, rh=rh),
                 donate_argnums=(0,))
-            self._pass_fns[(k, rw, rh)] = fn
+            state = {}
+
+            def call(*args):
+                c = state.get("c")
+                if c is None:
+                    c = jfn
+                    if jax.default_backend() == "tpu":
+                        from rrt_tpu.utils import aot_cache
+                        try:
+                            c2 = aot_cache.compile_cached(jfn, args,
+                                                          tag="pass")
+                            if c2 is not None:
+                                c = c2
+                        except Exception:  # noqa: BLE001 — fall back
+                            pass
+                    state["c"] = c
+                return c(*args)
+
+            self._pass_fns[(k, rw, rh)] = call
+            fn = call
         return fn
 
     # -------------------------------------------------------- pass kernel
