@@ -137,6 +137,10 @@ _SCAN = _os.environ.get("RRT_SCAN", "blk")
 # after the march; "march" = r4's in-loop dynamic stores (56 per
 # segment — measured the bulk of the march phase)
 _WREL = _os.environ.get("RRT_WREL", "post")
+# march-loop unroll factor: segments per while-loop iteration (the
+# 12-array carried state costs more per iteration than the ~80 vector
+# ops of a segment; unrolling amortizes the loop boundary)
+_MUNROLL = max(1, int(_os.environ.get("RRT_MARCH_UNROLL", "4")))
 
 
 def _sbox_overlap(wb, ref, i):
@@ -1031,9 +1035,15 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 open_any = c[-1]
                 return (s < n_seg) & open_any
 
-            def body(c):
+            def step(c):
+                """One Δθ segment: march, record chord, update the
+                absorption/death/last-touch bounds. Steps past n_seg
+                (unrolled-loop tail) record into padded chord rows and
+                MASK every bound update — a 2π-complete lane must read
+                as escaped, never absorbed at a phantom segment."""
                 (s, px, py, pz, ux, uy, uz, dead_f, end_seg, abs_f,
                  last_t, _) = c
+                live = s < n_seg
                 ndx, ndy, ndz, clen, sdead = march(px, py, pz, ux, uy, uz)
                 dead_f = jnp.maximum(dead_f, sdead.astype(jnp.float32))
                 clen = jnp.where(dead_f > 0.0, 0.0, clen)
@@ -1062,11 +1072,12 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 touch = slab(glox, gloy, gloz, ghix, ghiy, ghiz,
                              px, py, pz, 1.0 / ndx, 1.0 / ndy, 1.0 / ndz,
                              jnp.zeros((8, 128), jnp.float32), clen)
-                last_t = jnp.where(touch & (dead_f == 0.0), s, last_t)
+                last_t = jnp.where(touch & (dead_f == 0.0) & live,
+                                   s, last_t)
                 ab = absorb(px, py, pz, ndx, ndy, ndz, clen) & (
                     dead_f == 0.0)
                 open_lane = end_seg >= n_seg
-                close = (ab | (dead_f > 0.0)) & open_lane
+                close = (ab | (dead_f > 0.0)) & open_lane & live
                 end_seg = jnp.where(close, s, end_seg)
                 abs_f = jnp.where(close & ab, 1.0, abs_f)
                 npx = px + ndx * clen
@@ -1076,6 +1087,16 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                     (end_seg >= n_seg).astype(jnp.float32)) > 0.0
                 return (s + 1, npx, npy, npz, ndx, ndy, ndz, dead_f,
                         end_seg, abs_f, last_t, open_any)
+
+            def body(c):
+                # _MUNROLL segments per while iteration: the loop-carried
+                # state is 12 (8,128) arrays whose per-iteration spill/
+                # reload was a large share of the march phase; unrolling
+                # amortizes it (early exit coarsens to every _MUNROLL
+                # segments — extra masked steps are harmless)
+                for _ in range(_MUNROLL):
+                    c = step(c)
+                return c
 
             init = (jnp.int32(0), ox, oy, oz, dx, dy, dz, f0,
                     i_nseg, f0, jnp.full((8, 128), -1, jnp.int32),
@@ -1446,7 +1467,8 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
         windowed=windowed and curved, blocked=blocked,
         part_rows=part_rows, occlusion=occlusion and windowed and curved)
 
-    n_chord = n_seg if curved else 1
+    # chord rows padded to the march unroll (tail steps write there)
+    n_chord = (-(-n_seg // _MUNROLL) * _MUNROLL) if curved else 1
     n_win = -(-n_seg // 8) if (curved and windowed) else 1
     outs = pl.pallas_call(
         kernel,
