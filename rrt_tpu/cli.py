@@ -201,10 +201,14 @@ def main(argv=None):
     server = None
     preview_path = args.preview
     if args.serve is not None:
+        from rrt_tpu.utils.accel_walk import AccelWalk
         from rrt_tpu.utils.serve import PreviewServer
         if preview_path is None:
             preview_path = args.outfile + ".preview.png"
-        server = PreviewServer(preview_path, args.serve).start()
+        # arrow-key accel-structure walk on the page (the reference's
+        # VISUALIZE-mode navigation, pathtracer.cpp:330-423, :520-534)
+        server = PreviewServer(preview_path, args.serve,
+                               accel=AccelWalk(scene, camera)).start()
         server.update(0, cfg.ns_aa)
         print(f"[PathTracer] Live preview: http://localhost:{server.port}/")
 

@@ -70,6 +70,14 @@ def sphere_intersect(o, d, min_t, max_t, center, radius):
     Returns (ok (...,S), t) with the reference's near-then-far root
     acceptance (sphere.cpp:26-53).
     """
+    # dead rows (radius <= 0 — the build pads centers at 1e30) would put
+    # c at f32 inf and disc at inf - inf = NaN; the forward masks stay
+    # correct but reverse-mode's 0·NaN poisons the padded rows' center
+    # gradients. Substitute a benign center for dead rows — the `where`
+    # also routes their gradient to an exact zero.
+    live = radius > 0
+    center = jnp.where(live[..., None], center,
+                       jnp.zeros_like(center))
     tmp = o[..., None, :] - center
     b = 2.0 * jnp.sum(tmp * d[..., None, :], axis=-1)
     c = jnp.sum(tmp * tmp, axis=-1) - radius * radius

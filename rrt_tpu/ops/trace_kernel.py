@@ -141,6 +141,17 @@ _WREL = _os.environ.get("RRT_WREL", "post")
 # 12-array carried state costs more per iteration than the ~80 vector
 # ops of a segment; unrolling amortizes the loop boundary)
 _MUNROLL = max(1, int(_os.environ.get("RRT_MARCH_UNROLL", "4")))
+# Lazy interleaved march (r5): march and traversal share ONE window loop,
+# so the march stops as soon as ALL 1024 lanes of a tile are resolved —
+# and unneeded windows skip their transposed re-layout entirely. A single
+# unresolved lane (escaper, unoccluded shadow ray) forces the tile's
+# full march, so the win is bounded by whole-tile resolution; measured
+# on-chip (r5): single-part scenes gain ~2% end-to-end, multi-part
+# scenes lose ~2% (the per-part window loop re-evaluates the whole-tile
+# conditions eager mode evaluates once per sub-row). Default "auto" =
+# lazy iff the scene fits one part; "1"/"0" force. v2/v4/box-gate modes
+# always use the eager phase-1 layout.
+_LAZY = _os.environ.get("RRT_LAZY", "auto")
 
 
 def _sbox_overlap(wb, ref, i):
@@ -159,8 +170,8 @@ def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
                      sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
                      nisect_ref, ncull_ref, wchords, ltouch, wbox, pbox_ref,
                      cl_ref, sup_ref, trow_ref, scan_part, scan_part_box,
-                     slab,
-                     *, p, P, S, n_seg, cluster_size, blocked,
+                     slab, sbox,
+                     *, p, P, SL, n_seg, cluster_size, blocked,
                      occlusion, gate_mode):
     """Segment-windowed curved traversal (kernel v3).
 
@@ -211,6 +222,11 @@ def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
             sidx = i_rows + w * 8                          # (8,128)
             comps = [wchords[w, cc, r] for cc in range(7)]
             cox, coy, coz, cdx, cdy, cdz, clen = comps
+            # one inverse-direction set per (window, sub-row), shared by
+            # the part/sphere gates here and every slab in the scan
+            cix = 1.0 / cdx
+            ciy = 1.0 / cdy
+            ciz = 1.0 / cdz
             seg = row(seg_ref)
             hitm = row(hit_ref) > 0.0
             cur_t = row(t_ref)
@@ -235,15 +251,26 @@ def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
                 part_reach = slab(
                     pbox_ref[p, 0], pbox_ref[p, 1], pbox_ref[p, 2],
                     pbox_ref[p, 3], pbox_ref[p, 4], pbox_ref[p, 5],
-                    cox, coy, coz, 1.0 / cdx, 1.0 / cdy, 1.0 / cdz,
+                    cox, coy, coz, cix, ciy, ciz,
                     jnp.zeros((8, 128), jnp.float32), tmax_eff)
                 ncull_ref[0, pl.ds(r, 1)] = ncull_ref[0, pl.ds(r, 1)] + 8
                 do_tris = jnp.max(part_reach.astype(jnp.float32)) > 0.0
-            if S > 0:
-                any_improv = jnp.max(
-                    (tmax_eff >= 0.0).astype(jnp.float32)) > 0.0
-                gate = do_tris | ((p == 0) & any_improv)
+            if SL > 0:
+                # sphere-union AABB gate (r5): the global sphere list used
+                # to execute its quadratic (sqrt+div) tests at EVERY
+                # (window, sub-row) — measured the bulk of the primary
+                # scene's 34% gate share. One slab vs the union box skips
+                # windows whose chords reach no sphere.
+                sph_reach = slab(
+                    sbox[0], sbox[1], sbox[2], sbox[3], sbox[4], sbox[5],
+                    cox, coy, coz, cix, ciy, ciz,
+                    jnp.zeros((8, 128), jnp.float32), tmax_eff)
+                ncull_ref[0, pl.ds(r, 1)] = ncull_ref[0, pl.ds(r, 1)] + 8
+                do_sph = (p == 0) & (
+                    jnp.max(sph_reach.astype(jnp.float32)) > 0.0)
+                gate = do_tris | do_sph
             else:
+                do_sph = jnp.bool_(False)
                 gate = do_tris
 
             def reduce_merge(bt, bp):
@@ -295,26 +322,26 @@ def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
                 def _():
                     if gate_mode != "slab":
                         bt, bp, cnt = scan_part_box(
-                            cox, coy, coz, cdx, cdy, cdz,
+                            cox, coy, coz, cdx, cdy, cdz, cix, ciy, ciz,
                             jnp.zeros((8, 128), jnp.float32), tmax_eff,
-                            do_tris=do_tris, wb=wb)
+                            do_tris=do_tris, do_sph=do_sph, wb=wb)
                         ncull_ref[0, pl.ds(r, 1)] = \
                             ncull_ref[0, pl.ds(r, 1)] + cnt
                     else:
                         bt, bp = scan_part(
-                            cox, coy, coz, cdx, cdy, cdz,
+                            cox, coy, coz, cdx, cdy, cdz, cix, ciy, ciz,
                             jnp.zeros((8, 128), jnp.float32), tmax_eff,
-                            do_tris=do_tris)
+                            do_tris=do_tris, do_sph=do_sph)
                     reduce_merge(bt, bp)
             else:
                 # spheres (global, part 0) ride the shared window-tile pass
-                if S > 0:
-                    @pl.when((p == 0) & any_improv)
+                if SL > 0:
+                    @pl.when(do_sph)
                     def _():
                         bt, bp = scan_part(
-                            cox, coy, coz, cdx, cdy, cdz,
+                            cox, coy, coz, cdx, cdy, cdz, cix, ciy, ciz,
                             jnp.zeros((8, 128), jnp.float32), tmax_eff,
-                            do_tris=jnp.bool_(False))
+                            do_tris=jnp.bool_(False), do_sph=do_sph)
                         reduce_merge(bt, bp)
 
                 @pl.when(do_tris)
@@ -335,6 +362,246 @@ def _phase2_windowed(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
         return carry
 
     jax.lax.fori_loop(0, 8, subtile, 0)
+
+
+def _phase2_lazy(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
+                 sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
+                 nisect_ref, ncull_ref, chords, wchords, mf, mi, fr_ref,
+                 pbox_ref, scan_part, slab, march, absorb, sbox, gbox,
+                 *, p, P, SL, n_seg, occlusion):
+    """Lazy interleaved march + windowed traversal (r5, default curved
+    path).
+
+    The r4/r5 layout marched ALL ~⌈2π/Δθ⌉ segments in phase 1, then
+    traversed windows until no lane could improve — but in closed scenes
+    most lanes resolve (hit geometry, absorb, or die) within the first
+    few segments, and the march was 61% of kernel time on the primary
+    bench scene (tools/r5probe.py class probes). Here ONE while loop per
+    ray tile drives both: iteration w first extends the march by one
+    8-segment window if the frontier hasn't covered it (march state
+    persists in the mf/mi scratch refs across windows AND grid parts),
+    then runs the per-sub-row gated traversal of that window. The loop
+    exits when no lane can produce an event in any remaining window:
+
+      A(w): some lane's merged state still admits a geometry event at a
+            MARCHED, scene-touching segment ≥ 8w (exactly the old
+            per-sub-row ltouch bound, applied to the marched prefix);
+      B:    the march is incomplete and some lane has NO event yet
+            (it must keep marching — a later segment may touch geometry
+            or cross the event horizon).
+
+    Closure events (event-horizon absorption, degenerate death) merge
+    into the best-event state the moment the march discovers them, via
+    the same first-event rule the traversal uses — which reproduces
+    absorption-beats-geometry exactly (bvh.cpp:107-108): a same-segment
+    geometry candidate needs `s == seg AND hit`, and closure rows carry
+    hit = 0. Results are bit-identical to the eager layout: the march
+    sequence is unchanged, every window the eager path would scan is
+    scanned with identical tmax_eff (events only exist at segments below
+    the march frontier, so the merged state the eager path would have
+    seeded is already in place), and windows this path skips provably
+    admit no event. Windows no lane can use also skip the transposed
+    wchords re-layout (A is monotone non-increasing over parts, so a
+    skipped window stays skippable for every later part).
+    """
+    n_win = -(-n_seg // 8)
+    i_rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    zero8 = jnp.zeros((8, 128), jnp.float32)
+
+    def segpart(s0):
+        """(8,128): can this lane's merged state still improve at s0?"""
+        seg = seg_ref[0]
+        hitm = hit_ref[0] > 0.0
+        if occlusion:
+            return ~hitm & (s0 < seg)
+        return (s0 < seg) | ((s0 == seg) & hitm)
+
+    def cond_a(w):
+        return jnp.max((segpart(w * 8)
+                        & (mi[1] >= w * 8)).astype(jnp.float32)) > 0.0
+
+    def cond_b():
+        return (fr_ref[0] < n_win) & (jnp.max(
+            (seg_ref[0] == n_seg).astype(jnp.float32)) > 0.0)
+
+    def march_window(w):
+        """March segments [8w, 8w+8): straight-line, state in scratch.
+        Chords go to the segment-major `chords` scratch step by step
+        (keeping all 8 steps' values live in registers for the transposed
+        store spilled badly — measured on-chip r5)."""
+        px, py, pz = mf[0], mf[1], mf[2]
+        ux, uy, uz = mf[3], mf[4], mf[5]
+        dead_f = mf[6]
+        end_seg = mi[0]
+        last_t = mi[1]
+        for i in range(8):
+            s = w * 8 + i
+            (ndx, ndy, ndz, rix, riy, riz,
+             clen, sdead) = march(px, py, pz, ux, uy, uz)
+            dead_f = jnp.maximum(dead_f, sdead.astype(jnp.float32))
+            clen = jnp.where(dead_f > 0.0, 0.0, clen)
+            chords[s, 0] = px
+            chords[s, 1] = py
+            chords[s, 2] = pz
+            chords[s, 3] = ndx
+            chords[s, 4] = ndy
+            chords[s, 5] = ndz
+            chords[s, 6] = clen
+            live = s < n_seg          # scalar: tail window past 2π
+            touch = slab(gbox[0], gbox[1], gbox[2],
+                         gbox[3], gbox[4], gbox[5],
+                         px, py, pz, rix, riy, riz, zero8, clen)
+            last_t = jnp.where(touch & (dead_f == 0.0) & live, s, last_t)
+            ab = absorb(px, py, pz, ndx, ndy, ndz, clen) & (dead_f == 0.0)
+            open_lane = end_seg >= n_seg
+            close = (ab | (dead_f > 0.0)) & open_lane & live
+            end_seg = jnp.where(close, s, end_seg)
+            # closure = a hit-less event at segment s; merged by the
+            # first-event rule (an earlier geometry event keeps winning,
+            # and closures fire once per lane via open_lane)
+            better = close & (s < seg_ref[0])
+            seg_ref[0] = jnp.where(better, s, seg_ref[0])
+            abs_ref[0] = jnp.where(better & ab, 1.0, abs_ref[0])
+            px = px + ndx * clen
+            py = py + ndy * clen
+            pz = pz + ndz * clen
+            ux, uy, uz = ndx, ndy, ndz
+        mf[0], mf[1], mf[2] = px, py, pz
+        mf[3], mf[4], mf[5] = ux, uy, uz
+        mf[6] = dead_f
+        mi[0] = end_seg
+        mi[1] = last_t
+        fr_ref[0] = w + 1
+
+    def traverse(w, r):
+        """Gated traversal of window w, sub-row r (the win_body logic of
+        `_phase2_windowed`, minus its per-sub-row window loop)."""
+        row = lambda ref: ref[0, pl.ds(r, 1)]              # (1,128)
+        sidx = i_rows + w * 8
+        comps = [wchords[w, cc, r] for cc in range(7)]
+        cox, coy, coz, cdx, cdy, cdz, clen = comps
+        cix = 1.0 / cdx
+        ciy = 1.0 / cdy
+        ciz = 1.0 / cdz
+        seg = row(seg_ref)
+        hitm = row(hit_ref) > 0.0
+        cur_t = row(t_ref)
+        lt_r = mi[1, pl.ds(r, 1)]                          # (1,128)
+        valid = (sidx < n_seg) & (sidx <= lt_r)
+        if occlusion:
+            lt_c = (sidx < seg) & valid & ~hitm
+            tmax_eff = jnp.where(lt_c, clen, -1.0)
+        else:
+            lt_c = (sidx < seg) & valid
+            eq_c = (sidx == seg) & hitm & valid
+            tmax_eff = jnp.where(
+                lt_c, clen,
+                jnp.where(eq_c, jnp.minimum(clen, cur_t), -1.0))
+        part_reach = slab(
+            pbox_ref[p, 0], pbox_ref[p, 1], pbox_ref[p, 2],
+            pbox_ref[p, 3], pbox_ref[p, 4], pbox_ref[p, 5],
+            cox, coy, coz, cix, ciy, ciz, zero8, tmax_eff)
+        ncull_ref[0, pl.ds(r, 1)] = ncull_ref[0, pl.ds(r, 1)] + 8
+        do_tris = jnp.max(part_reach.astype(jnp.float32)) > 0.0
+        if SL > 0:
+            sph_reach = slab(
+                sbox[0], sbox[1], sbox[2], sbox[3], sbox[4], sbox[5],
+                cox, coy, coz, cix, ciy, ciz, zero8, tmax_eff)
+            ncull_ref[0, pl.ds(r, 1)] = ncull_ref[0, pl.ds(r, 1)] + 8
+            do_sph = (p == 0) & (
+                jnp.max(sph_reach.astype(jnp.float32)) > 0.0)
+            gate = do_tris | do_sph
+        else:
+            do_sph = jnp.bool_(False)
+            gate = do_tris
+
+        @pl.when(gate)
+        def _():
+            bt, bp = scan_part(
+                cox, coy, coz, cdx, cdy, cdz, cix, ciy, ciz,
+                zero8, tmax_eff, do_tris=do_tris, do_sph=do_sph)
+            # first-event reduce over the window's 8 segments, then merge
+            cand = bp >= 0
+            s_m = jnp.where(cand, sidx, n_seg + 1)
+            min_s = jnp.min(s_m, axis=0, keepdims=True)    # (1,128)
+            on_s = cand & (s_m == min_s)
+            t_m = jnp.where(on_s, bt, BIG)
+            min_t = jnp.min(t_m, axis=0, keepdims=True)
+            on_t = on_s & (t_m == min_t)
+            p_m = jnp.where(on_t, bp, jnp.int32(1 << 30))
+            min_p = jnp.min(p_m, axis=0, keepdims=True)
+            sel = on_t & (p_m == min_p)
+            pick = lambda a: jnp.max(
+                jnp.where(sel, a, -BIG), axis=0, keepdims=True)
+            has = min_s < n_seg
+            seg_r = row(seg_ref)
+            hit_r = row(hit_ref)
+            t_r = row(t_ref)
+            better = has & ((min_s < seg_r)
+                            | ((min_s == seg_r) & (hit_r > 0.0)
+                               & (min_t < t_r)))
+            bp_g = jnp.where((min_p >= 0) & (min_p < P),
+                             min_p + p * P, min_p)
+            st = lambda ref, v: ref.__setitem__(
+                (0, pl.ds(r, 1)), jnp.where(better, v, row(ref)))
+            st(hit_ref, 1.0)
+            st(abs_ref, 0.0)
+            st(t_ref, min_t)
+            st(prim_ref, bp_g)
+            st(seg_ref, min_s)
+            st(sox_ref, pick(cox))
+            st(soy_ref, pick(coy))
+            st(soz_ref, pick(coz))
+            st(sdx_ref, pick(cdx))
+            st(sdy_ref, pick(cdy))
+            st(sdz_ref, pick(cdz))
+
+    def body(c):
+        w, _ = c
+
+        @pl.when(w >= fr_ref[0])
+        def _():
+            march_window(w)
+            # transposed per-window re-layout (reads back the segment-
+            # major chords) — only if some lane can still use this window
+            # (A is monotone over parts: a window skipped here is
+            # skipped by every later part too)
+            @pl.when(cond_a(w))
+            def _():
+                for c2 in range(7):
+                    segs = [chords[w * 8 + i2, c2] for i2 in range(8)]
+                    for r2 in range(8):
+                        rows = [jax.lax.slice(
+                            segs[i2], (r2, 0), (r2 + 1, 128))
+                            for i2 in range(8)]
+                        wchords[w, c2, r2] = jnp.concatenate(rows, axis=0)
+
+        @pl.when(cond_a(w))
+        def _():
+            def sub(r, cc):
+                lt_r = mi[1, pl.ds(r, 1)]                  # (1,128)
+                seg_row = seg_ref[0, pl.ds(r, 1)]
+                hit_row = hit_ref[0, pl.ds(r, 1)] > 0.0
+                s0 = w * 8
+                if occlusion:
+                    sp = ~hit_row & (s0 < seg_row)
+                else:
+                    sp = (s0 < seg_row) | ((s0 == seg_row) & hit_row)
+                improv_r = jnp.max(
+                    (sp & (lt_r >= s0)).astype(jnp.float32)) > 0.0
+
+                @pl.when(improv_r)
+                def _():
+                    traverse(w, r)
+                return cc
+
+            jax.lax.fori_loop(0, 8, sub, 0)
+
+        w2 = w + 1
+        return (w2, (w2 < n_win) & (cond_a(w2) | cond_b()))
+
+    jax.lax.while_loop(lambda c: c[1], body,
+                       (jnp.int32(0), cond_a(jnp.int32(0)) | cond_b()))
 
 
 def _blocked_tris(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
@@ -462,8 +729,8 @@ def _blocked_tris(hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
     jax.lax.fori_loop(0, sup_ref.shape[0], super_body, jnp.int32(0))
 
 
-def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
-                                     # bbox lo xyz / hi xyz (tris+spheres)
+def _kernel(bhp_ref,                 # (1,24) SMEM: bh px,py,pz,r,dθ, scene
+                                     # bbox lo/hi xyz, sphere-union lo/hi
             ox_ref, oy_ref, oz_ref,  # (1,8,128) ray origin tile
             dx_ref, dy_ref, dz_ref,
             mint_ref, maxt_ref,
@@ -496,12 +763,22 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                                      # best (t, prim) of one scan_part
                                      # call (_SCAN == "ref": culling
                                      # branches carry no vector state)
+            mf,                      # VMEM scratch (7,8,128) f32: lazy
+                                     # march state (pos, dir, dead flag)
+            mi,                      # VMEM scratch (2,8,128) i32: lazy
+                                     # march state (end_seg, last touch)
+            fr_ref,                  # SMEM scratch (1,) i32: lazy march
+                                     # frontier (windows marched so far)
             *, curved: bool, n_seg: int, n_tri_rows: int,
             cluster_size: int, n_parts: int, windowed: bool,
-            blocked: bool, part_rows: int, occlusion: bool):
+            blocked: bool, part_rows: int, occlusion: bool,
+            n_live_sph: int = -1):
     P = part_rows                    # triangle rows in this part
     cpp = cl_ref.shape[0]            # clusters in this part
     S = sph_ref.shape[0]
+    # live-sphere prefix (build pads dead rows at the tail): the sphere
+    # loops and gates only ever touch the first SL rows
+    SL = S if n_live_sph < 0 else min(n_live_sph, S)
     p = pl.program_id(1) if n_parts > 1 else 0
     # scalar box-prefilter gating serves the windowed scalar-sweep path;
     # v2/flat/blocked keep the r4 vector-slab gates
@@ -512,6 +789,9 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
     bh_pz = bhp_ref[0, 2]
     bh_r = bhp_ref[0, 3]
     bh_dt = bhp_ref[0, 4]
+    # live-sphere union AABB (lo xyz, hi xyz) for the per-window sphere
+    # gate; inverted (lo=+BIG > hi=-BIG) when no live spheres exist
+    sbox = tuple(bhp_ref[0, 11 + i] for i in range(6))
 
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]       # (8,128)
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
@@ -527,11 +807,15 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
         d2 = xax * xax + xay * xay + xaz * xaz
         at_c = d2 <= 0.0
         dist = jnp.sqrt(jnp.where(at_c, 1.0, d2))
-        # divisions (not reciprocal-multiplies) to round bit-identically
-        # to the XLA path (physics/schwarzschild.micro_step) — wrapped
-        # chords amplify any f32 rounding difference chaotically
-        xhx, xhy, xhz = xax / dist, xay / dist, xaz / dist
+        # one reciprocal per norm, then multiplies: VPU division costs
+        # ~60-70 cycles per (8,128) op (the r5 primary-scene probe
+        # measured the march division-bound at 18 slow ops/step), so the
+        # three per-axis divisions collapse onto the u=1/dist value the
+        # step needs anyway. The XLA path (physics/schwarzschild.
+        # micro_step) uses the SAME reciprocal-multiply forms so the two
+        # compilations stay bit-identical on calm lanes.
         u = 1.0 / dist
+        xhx, xhy, xhz = xax * u, xay * u, xaz * u
         ddx = ux * xhx + uy * xhy + uz * xhz
         yax = ux - ddx * xhx
         yay = uy - ddx * xhy
@@ -539,8 +823,9 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
         y2 = yax * yax + yay * yay + yaz * yaz
         dead = (y2 < 1e-24) | at_c
         dyn = jnp.sqrt(jnp.where(dead, 1.0, y2))
-        yhx, yhy, yhz = yax / dyn, yay / dyn, yaz / dyn
-        up = -u * ddx / dyn
+        rdyn = 1.0 / dyn
+        yhx, yhy, yhz = yax * rdyn, yay * rdyn, yaz * rdyn
+        up = -u * ddx * rdyn
 
         def f(uu):
             return -uu + 1.5 * bh_r * uu * uu
@@ -565,10 +850,16 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
         c2 = cx * cx + cy * cy + cz * cz
         zl = c2 <= 0.0
         clen = jnp.sqrt(jnp.where(zl, 1.0, c2))
-        ndx, ndy, ndz = cx / clen, cy / clen, cz / clen
+        rclen = 1.0 / clen
+        ndx, ndy, ndz = cx * rclen, cy * rclen, cz * rclen
+        # inverse chord direction for THIS step's scene-bbox touch test
+        # (phase-2 gates recompute their own, once per window sub-row —
+        # storing these cost more in march-side chord stores than the
+        # saved divisions, measured on-chip r5)
+        rix, riy, riz = 1.0 / ndx, 1.0 / ndy, 1.0 / ndz
         clen = jnp.where(zl, 0.0, clen)
         dead = dead | zl
-        return ndx, ndy, ndz, clen, dead
+        return ndx, ndy, ndz, rix, riy, riz, clen, dead
 
     def absorb(px, py, pz, ux, uy, uz, clen):
         tx = px - bh_px
@@ -604,14 +895,14 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
         return ((tmn <= tmx) & (tmn <= tmax) & (tmx >= tmin)
                 & (tmax >= tmin))
 
-    def scan_part(px, py, pz, ux, uy, uz, tmin, tmax, do_tris):
+    def scan_part(px, py, pz, ux, uy, uz, inv_x, inv_y, inv_z,
+                  tmin, tmax, do_tris, do_sph):
         """Best (t, local prim) of chords [tmin, tmax] against this part's
         clusters (gated by the caller's part-AABB test `do_tris`) plus —
-        on part 0 only — the global sphere list. Lanes with tmax < tmin
-        match nothing."""
-        inv_x = 1.0 / ux
-        inv_y = 1.0 / uy
-        inv_z = 1.0 / uz
+        on part 0, when the caller's sphere-union slab passes (`do_sph`) —
+        the LIVE prefix of the global sphere list. Lanes with tmax < tmin
+        match nothing. Inverse directions come precomputed from the chord
+        table (march stores them once; see `march`)."""
 
         def tri_body(ti, carry):
             """One triangle broadcast against the whole ray tile."""
@@ -726,12 +1017,12 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             @pl.when(do_tris)
             def _():
                 jax.lax.fori_loop(0, n_sup, super_body, jnp.int32(0))
-            if S > 0:
-                # spheres are global: test them once, on part 0
-                @pl.when(p == 0)
+            if SL > 0:
+                # spheres are global: test the live prefix once, on part 0
+                @pl.when(do_sph)
                 def _():
                     bt, bp = jax.lax.fori_loop(
-                        0, S, sph_body, (bts_ref[0], bps_ref[0]))
+                        0, SL, sph_body, (bts_ref[0], bps_ref[0]))
                     bts_ref[0] = bt
                     bps_ref[0] = bp
             return (bts_ref[0], bps_ref[0])
@@ -741,15 +1032,16 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             do_tris,
             lambda c: jax.lax.fori_loop(0, n_sup, super_body, c),
             lambda c: c, carry)
-        if S > 0:
-            # spheres are global: test them once, on part 0
+        if SL > 0:
+            # spheres are global: test the live prefix once, on part 0
             carry = jax.lax.cond(
-                p == 0,
-                lambda c: jax.lax.fori_loop(0, S, sph_body, c),
+                do_sph,
+                lambda c: jax.lax.fori_loop(0, SL, sph_body, c),
                 lambda c: c, carry)
         return carry
 
-    def scan_part_blk(px, py, pz, ux, uy, uz, tmin, tmax, do_tris):
+    def scan_part_blk(px, py, pz, ux, uy, uz, inv_x, inv_y, inv_z,
+                      tmin, tmax, do_tris, do_sph):
         """Block-gated traversal (_SCAN == "blk"): same culling DECISIONS
         as scan_part, restructured so the slab tests of a whole
         supercluster block run straight-line (SMEM box loads and vector
@@ -758,9 +1050,6 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
         bts/bps scratch refs, so no branch carries vector state. Results
         are bit-identical to scan_part (identical tests, identical merge
         order)."""
-        inv_x = 1.0 / ux
-        inv_y = 1.0 / uy
-        inv_z = 1.0 / uz
 
         def tri_body(ti, carry):
             best_t, best_p = carry
@@ -858,16 +1147,17 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                         def _(j=j, u=u):
                             sweep(u * SUP + j)
 
-        if S > 0:
-            @pl.when(p == 0)
+        if SL > 0:
+            @pl.when(do_sph)
             def _():
                 bt, bp = jax.lax.fori_loop(
-                    0, S, sph_body, (bts_ref[0], bps_ref[0]))
+                    0, SL, sph_body, (bts_ref[0], bps_ref[0]))
                 bts_ref[0] = bt
                 bps_ref[0] = bp
         return (bts_ref[0], bps_ref[0])
 
-    def scan_part_box(px, py, pz, ux, uy, uz, tmin, tmax, do_tris, wb):
+    def scan_part_box(px, py, pz, ux, uy, uz, inv_x, inv_y, inv_z,
+                      tmin, tmax, do_tris, do_sph, wb):
         """Box-prefilter traversal of this part (gate modes "box"/"boxp",
         r5): every supercluster/cluster gate is a PURE-SCALAR box-overlap
         test of the SMEM box tables against `wb`, this sub-row window's
@@ -878,9 +1168,6 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
         triangle work the looser window AABB lets through. Returns
         (best_t, best_p, n_gate_tests) — the scalar test count is charged
         to ncull by the caller, once per window."""
-        inv_x = 1.0 / ux
-        inv_y = 1.0 / uy
-        inv_z = 1.0 / uz
         precise = _GATE == "boxp"
 
         def tri_body(ti, carry):
@@ -989,10 +1276,10 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             do_tris,
             lambda c: jax.lax.fori_loop(0, n_sup, super_body, c),
             lambda c: c, carry)
-        if S > 0:
+        if SL > 0:
             carry = jax.lax.cond(
-                p == 0,
-                lambda c: jax.lax.fori_loop(0, S, sph_body, c),
+                do_sph,
+                lambda c: jax.lax.fori_loop(0, SL, sph_body, c),
                 lambda c: c, carry)
         return carry
 
@@ -1021,6 +1308,42 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
     # march all chords once into VMEM scratch; resolve absorption and
     # degenerate-death bounds (both geometry-independent).
     if curved:
+        lazy_on = (n_parts == 1) if _LAZY == "auto" else (_LAZY != "0")
+        lazy = (windowed and lazy_on and gate_mode == "slab"
+                and not blocked and _ABLATE == "")
+        if lazy:
+            @pl.when(p == 0)
+            def _():
+                mf[0], mf[1], mf[2] = ox, oy, oz
+                mf[3], mf[4], mf[5] = dx, dy, dz
+                mf[6] = f0                          # dead flag
+                mi[0] = i_nseg                      # end_seg (open)
+                mi[1] = jnp.full((8, 128), -1, jnp.int32)   # last touch
+                fr_ref[0] = 0
+                nisect_ref[0] = jnp.zeros((8, 128), jnp.int32)
+                ncull_ref[0] = jnp.zeros((8, 128), jnp.int32)
+                hit_ref[0] = f0
+                abs_ref[0] = f0
+                t_ref[0] = jnp.full((8, 128), BIG, jnp.float32)
+                prim_ref[0] = jnp.full((8, 128), -1, jnp.int32)
+                seg_ref[0] = i_nseg
+                sox_ref[0] = ox
+                soy_ref[0] = oy
+                soz_ref[0] = oz
+                sdx_ref[0] = dx
+                sdy_ref[0] = dy
+                sdz_ref[0] = dz
+
+            gbox = tuple(bhp_ref[0, 5 + i] for i in range(6))
+            _phase2_lazy(
+                hit_ref, abs_ref, t_ref, prim_ref, seg_ref,
+                sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
+                nisect_ref, ncull_ref, chords, wchords, mf, mi, fr_ref,
+                pbox_ref, scan_part_blk if _SCAN == "blk" else scan_part,
+                slab, march, absorb, sbox, gbox,
+                p=p, P=P, SL=SL, n_seg=n_seg, occlusion=occlusion)
+            return
+
         @pl.when(p == 0)
         def _():
             glox = bhp_ref[0, 5]
@@ -1044,7 +1367,8 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 (s, px, py, pz, ux, uy, uz, dead_f, end_seg, abs_f,
                  last_t, _) = c
                 live = s < n_seg
-                ndx, ndy, ndz, clen, sdead = march(px, py, pz, ux, uy, uz)
+                (ndx, ndy, ndz, rix, riy, riz,
+                 clen, sdead) = march(px, py, pz, ux, uy, uz)
                 dead_f = jnp.maximum(dead_f, sdead.astype(jnp.float32))
                 clen = jnp.where(dead_f > 0.0, 0.0, clen)
                 chords[s, 0] = px
@@ -1055,7 +1379,7 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 chords[s, 5] = ndz
                 chords[s, 6] = clen
                 if windowed and _WREL == "march":
-                    # legacy in-march windowed re-layout: 56 dynamic-index
+                    # legacy in-march windowed re-layout: dynamic-index
                     # (1,128) stores per segment — measured ~60% of the
                     # march phase; the default now re-lays out post-march
                     # with fully static indices (see below)
@@ -1070,7 +1394,7 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 # scene bbox; the LAST touching segment (over the whole
                 # march, so lensed re-entry is exact) bounds phase 2
                 touch = slab(glox, gloy, gloz, ghix, ghiy, ghiz,
-                             px, py, pz, 1.0 / ndx, 1.0 / ndy, 1.0 / ndz,
+                             px, py, pz, rix, riy, riz,
                              jnp.zeros((8, 128), jnp.float32), clen)
                 last_t = jnp.where(touch & (dead_f == 0.0) & live,
                                    s, last_t)
@@ -1174,8 +1498,8 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
                 nisect_ref, ncull_ref, wchords, ltouch, wbox, pbox_ref,
                 cl_ref, sup_ref, trow_ref,
                 scan_part_blk if _SCAN == "blk" else scan_part,
-                scan_part_box, slab,
-                p=p, P=P, S=S, n_seg=n_seg,
+                scan_part_box, slab, sbox,
+                p=p, P=P, SL=SL, n_seg=n_seg,
                 cluster_size=cluster_size, blocked=blocked,
                 occlusion=occlusion, gate_mode=gate_mode)
             return
@@ -1202,6 +1526,9 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             cdy = chords[s, 4]
             cdz = chords[s, 5]
             clen = chords[s, 6]
+            cix = 1.0 / cdx
+            ciy = 1.0 / cdy
+            ciz = 1.0 / cdz
             seg = seg_ref[0]
             hitm = hit_ref[0] > 0.0
             cur_t = t_ref[0]
@@ -1214,23 +1541,29 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
             part_reach = slab(
                 pbox_ref[p, 0], pbox_ref[p, 1], pbox_ref[p, 2],
                 pbox_ref[p, 3], pbox_ref[p, 4], pbox_ref[p, 5],
-                cox, coy, coz, 1.0 / cdx, 1.0 / cdy, 1.0 / cdz,
+                cox, coy, coz, cix, ciy, ciz,
                 jnp.zeros((8, 128), jnp.float32), tmax_eff)
             ncull_ref[0] = ncull_ref[0] + 1
             do_tris = jnp.max(part_reach.astype(jnp.float32)) > 0.0
-            any_improv = jnp.max(
-                (tmax_eff >= 0.0).astype(jnp.float32)) > 0.0
-            if S > 0:
-                gate = do_tris | ((p == 0) & any_improv)
+            if SL > 0:
+                sph_reach = slab(
+                    sbox[0], sbox[1], sbox[2], sbox[3], sbox[4], sbox[5],
+                    cox, coy, coz, cix, ciy, ciz,
+                    jnp.zeros((8, 128), jnp.float32), tmax_eff)
+                ncull_ref[0] = ncull_ref[0] + 1
+                do_sph = (p == 0) & (
+                    jnp.max(sph_reach.astype(jnp.float32)) > 0.0)
+                gate = do_tris | do_sph
             else:
+                do_sph = jnp.bool_(False)
                 gate = do_tris
 
             @pl.when(gate)
             def _():
                 bt, bp = (scan_part_blk if _SCAN == "blk" else scan_part)(
-                    cox, coy, coz, cdx, cdy, cdz,
+                    cox, coy, coz, cdx, cdy, cdz, cix, ciy, ciz,
                     jnp.zeros((8, 128), jnp.float32), tmax_eff,
-                    do_tris=do_tris)
+                    do_tris=do_tris, do_sph=do_sph)
                 merge_update(s, bt, bp, cox, coy, coz, cdx, cdy, cdz)
 
             s2 = s + 1
@@ -1264,19 +1597,32 @@ def _kernel(bhp_ref,                 # (1,16) SMEM: bh px,py,pz,r,dθ, scene
         cur_t = t_ref[0]
         tmax_eff = jnp.where(hitm, jnp.minimum(maxt_ref[0], cur_t),
                              maxt_ref[0])
+        inv_dx = 1.0 / dx
+        inv_dy = 1.0 / dy
+        inv_dz = 1.0 / dz
         ncull_ref[0] = ncull_ref[0] + 1
         part_reach = slab(
             pbox_ref[p, 0], pbox_ref[p, 1], pbox_ref[p, 2],
             pbox_ref[p, 3], pbox_ref[p, 4], pbox_ref[p, 5],
-            ox, oy, oz, 1.0 / dx, 1.0 / dy, 1.0 / dz,
+            ox, oy, oz, inv_dx, inv_dy, inv_dz,
             mint_ref[0], tmax_eff)
         do_tris = jnp.max(part_reach.astype(jnp.float32)) > 0.0
+        if SL > 0:
+            sph_reach = slab(
+                sbox[0], sbox[1], sbox[2], sbox[3], sbox[4], sbox[5],
+                ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                mint_ref[0], tmax_eff)
+            ncull_ref[0] = ncull_ref[0] + 1
+            do_sph = (p == 0) & (
+                jnp.max(sph_reach.astype(jnp.float32)) > 0.0)
+        else:
+            do_sph = jnp.bool_(False)
 
-        @pl.when(do_tris | (p == 0))
+        @pl.when(do_tris | do_sph)
         def _():
             bt, bp = (scan_part_blk if _SCAN == "blk" else scan_part)(
-                ox, oy, oz, dx, dy, dz, mint_ref[0],
-                tmax_eff, do_tris=do_tris)
+                ox, oy, oz, dx, dy, dz, inv_dx, inv_dy, inv_dz,
+                mint_ref[0], tmax_eff, do_tris=do_tris, do_sph=do_sph)
             merge_update(jnp.zeros((8, 128), jnp.int32), bt, bp,
                          ox, oy, oz, dx, dy, dz)
 
@@ -1420,16 +1766,29 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
                       jnp.max(jnp.where(live_s[:, None],
                                         scene.sph_center, -BIG)
                               + sr_pad[:, None], axis=0))
+    # live-sphere union AABB for the kernel's per-window sphere gate
+    # (inverted lo=+BIG/hi=-BIG when no live sphere → every slab fails)
+    s_live = live_s & (scene.sph_bsdf >= 0)
+    sb_lo = jnp.min(jnp.where(s_live[:, None],
+                              scene.sph_center - sr_pad[:, None], BIG),
+                    axis=0)
+    sb_hi = jnp.max(jnp.where(s_live[:, None],
+                              scene.sph_center + sr_pad[:, None], -BIG),
+                    axis=0)
     if bh is not None:
-        bhp = jnp.concatenate([
+        bh_row = jnp.concatenate([
             jnp.asarray(bh.position, jnp.float32).reshape(3),
             jnp.asarray(bh.radius, jnp.float32).reshape(1),
             jnp.asarray(bh.delta_theta, jnp.float32).reshape(1),
             jnp.asarray(glo, jnp.float32).reshape(3),
-            jnp.asarray(ghi, jnp.float32).reshape(3),
-            jnp.zeros(5, jnp.float32)]).reshape(1, 16)
+            jnp.asarray(ghi, jnp.float32).reshape(3)])
     else:
-        bhp = jnp.zeros((1, 16), jnp.float32)
+        bh_row = jnp.zeros(11, jnp.float32)
+    bhp = jnp.concatenate([
+        bh_row,
+        jnp.asarray(sb_lo, jnp.float32).reshape(3),
+        jnp.asarray(sb_hi, jnp.float32).reshape(3),
+        jnp.zeros(7, jnp.float32)]).reshape(1, 24)
 
     ray_spec = pl.BlockSpec((1, 8, 128), lambda i, p: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1465,16 +1824,26 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
         _kernel, curved=curved, n_seg=n_seg, n_tri_rows=T_pad,
         cluster_size=CS_K, n_parts=n_parts,
         windowed=windowed and curved, blocked=blocked,
-        part_rows=part_rows, occlusion=occlusion and windowed and curved)
+        part_rows=part_rows, occlusion=occlusion and windowed and curved,
+        n_live_sph=getattr(scene, "n_live_spheres", -1))
 
-    # chord rows padded to the march unroll (tail steps write there)
-    n_chord = (-(-n_seg // _MUNROLL) * _MUNROLL) if curved else 1
+    # chord rows padded to the march unroll (tail steps write there);
+    # the lazy interleaved march writes whole 8-segment windows
+    lazy_on = (n_parts == 1) if _LAZY == "auto" else (_LAZY != "0")
+    lazy = (curved and windowed and not blocked and lazy_on
+            and _GATE == "slab" and _ABLATE == "")
     n_win = -(-n_seg // 8) if (curved and windowed) else 1
+    if not curved:
+        n_chord = 1
+    elif lazy:
+        n_chord = n_win * 8
+    else:
+        n_chord = -(-n_seg // _MUNROLL) * _MUNROLL
     outs = pl.pallas_call(
         kernel,
         grid=(g, n_parts),
         in_specs=(
-            [smem((1, 16))]
+            [smem((1, 24))]
             + [ray_spec] * 8
             + [tri_spec, cl_spec, sup_spec, trow_spec, smem((S, 4)),
                pbox_spec]
@@ -1486,7 +1855,10 @@ def pallas_trace_raw(scene: SceneData, bh: Optional[BlackHoleParams],
                         pltpu.VMEM((1, 8, 128), jnp.int32),
                         pltpu.SMEM((n_win, 8, 6), jnp.float32),
                         pltpu.VMEM((1, 8, 128), jnp.float32),
-                        pltpu.VMEM((1, 8, 128), jnp.int32)],
+                        pltpu.VMEM((1, 8, 128), jnp.int32),
+                        pltpu.VMEM((7, 8, 128), jnp.float32),
+                        pltpu.VMEM((2, 8, 128), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
     )(bhp, *ray_ins, tri_tab, cl_tab, sup_tab, trow_tab, sph_tab, pbox_tab)
 
@@ -1538,9 +1910,14 @@ def pallas_trace(scene: SceneData, bh: Optional[BlackHoleParams],
     import os
     n_lanes = flat_rays.o.shape[0]
     # sorting pays on BVH-scale scenes where per-tile culling matters;
-    # on few-cluster scenes it is pure overhead — gate on cluster count
-    sort = (_should_sort(n_lanes, scene.cluster_lo.shape[0])
-            and os.environ.get("RRT_TRACE_SORT", "1") != "0")
+    # on few-cluster scenes it is pure overhead — gate on cluster count.
+    # RRT_TRACE_SORT=force overrides the gate (lazy-march experiments:
+    # sorting clusters masked/terminated lanes into tiles the interleaved
+    # march can skip wholesale)
+    sort_env = os.environ.get("RRT_TRACE_SORT", "1")
+    sort = (sort_env == "force"
+            or (_should_sort(n_lanes, scene.cluster_lo.shape[0])
+                and sort_env != "0"))
     if sort:
         from rrt_tpu.geometry.trace import _morton7, _scene_bbox
         glo, ghi = _scene_bbox(scene)

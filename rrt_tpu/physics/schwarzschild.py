@@ -92,7 +92,13 @@ def micro_step(pos, direction, bh: BlackHoleParams):
     d2 = jnp.sum(x_axis * x_axis, axis=-1)
     at_center = d2 <= 0
     dist = jnp.sqrt(jnp.where(at_center, 1.0, d2))
-    x_hat = x_axis / dist[..., None]
+    # reciprocal-multiply normalizations, NOT per-axis divisions: the
+    # fused kernel's march (ops/trace_kernel._kernel.march) uses the same
+    # forms — VPU division is ~60-70 cycles per op there — and the two
+    # compilations must stay bit-identical on calm lanes
+    # (tests/test_pallas.py::test_kernel_matches_xla).
+    rdist = 1.0 / dist
+    x_hat = x_axis * rdist[..., None]
     # Magnitude caps (u ≤ 1e12, |u'| ≤ 1e15, |f| ≤ 1e30): lanes that
     # land pathologically close to the hole center produce u² terms that
     # overflow f32 to inf. Forward, those lanes already yield d_new ≈ 0
@@ -110,8 +116,9 @@ def micro_step(pos, direction, bh: BlackHoleParams):
     y2 = jnp.sum(y_axis * y_axis, axis=-1)
     dead = (y2 < _DY_EPS * _DY_EPS) | at_center
     safe_dy = jnp.sqrt(jnp.where(dead, 1.0, y2))
-    y_hat = y_axis / safe_dy[..., None]
-    up = grad_guard(jnp.clip(-u * dx / safe_dy, -1e15, 1e15))
+    rdy = 1.0 / safe_dy
+    y_hat = y_axis * rdy[..., None]
+    up = grad_guard(jnp.clip(-u * dx * rdy, -1e15, 1e15))
     r = bh.radius
     fclip = lambda f: jnp.clip(f, -1e30, 1e30)
     f1 = fclip(ode_rhs(u, r))
@@ -144,7 +151,7 @@ def micro_step(pos, direction, bh: BlackHoleParams):
     c2 = jnp.sum(chord * chord, axis=-1)
     zero_len = c2 <= 0
     chord_len = jnp.sqrt(jnp.where(zero_len, 1.0, c2))
-    new_dir = chord / chord_len[..., None]
+    new_dir = chord * (1.0 / chord_len)[..., None]
     chord_len = jnp.where(zero_len, 0.0, chord_len)
     dead = dead | ~jnp.isfinite(chord_len) | zero_len
     return new_dir, chord_len, dead

@@ -95,13 +95,24 @@ def _mf_D(h, alpha):
 
 
 def _mf_F(wi, eta, k):
-    """Air→conductor Fresnel via the Rs/Rp approximation (bsdf.cpp:58-66)."""
+    """Air→conductor Fresnel via the Rs/Rp approximation (bsdf.cpp:58-66).
+
+    The branchless dispatch evaluates this for EVERY lane with the lane's
+    own table row, including non-microfacet rows whose eta = k = 0: at a
+    grazing wi (ci → 0) rs becomes 0/0 and, although the forward value is
+    selected away, reverse-mode's 0·NaN poisons the summed eta/k table
+    gradients. Guard the denominators — they vanish only in that
+    selected-away configuration, so the substitution never changes a
+    consumed value."""
     e2k2 = eta * eta + k * k
     ci = wi[..., 2:3]
     ci2 = ci * ci
     two_eta_ci = 2.0 * eta * ci
-    rs = (e2k2 - two_eta_ci + ci2) / (e2k2 + two_eta_ci + ci2)
-    rp = (e2k2 * ci2 - two_eta_ci + 1.0) / (e2k2 * ci2 + two_eta_ci + 1.0)
+    den_s = e2k2 + two_eta_ci + ci2
+    den_p = e2k2 * ci2 + two_eta_ci + 1.0
+    safe = lambda d: jnp.where(jnp.abs(d) < 1e-12, 1.0, d)
+    rs = (e2k2 - two_eta_ci + ci2) / safe(den_s)
+    rp = (e2k2 * ci2 - two_eta_ci + 1.0) / safe(den_p)
     return (rs + rp) / 2.0
 
 

@@ -234,7 +234,10 @@ def build_scene(
     cluster_lo, cluster_hi = cl.cluster_bboxes(
         tv0, tv1, tv2, tb >= 0, pad_tris_to)
 
-    # pad spheres to a fixed lane width (kernel-friendly static shape)
+    # pad spheres to a fixed lane width (kernel-friendly static shape);
+    # the live count rides SceneData as static metadata so the kernel's
+    # sphere loop only visits the live prefix
+    n_live_spheres = len(sph_c)
     while len(sph_c) < 8:
         sph_c.append(np.full(3, 1e30))
         sph_r.append(0.0)
@@ -287,6 +290,7 @@ def build_scene(
         cluster_lo=jnp.asarray(cluster_lo, dtype),
         cluster_hi=jnp.asarray(cluster_hi, dtype),
         cluster_size=pad_tris_to,
+        n_live_spheres=n_live_spheres,
     )
 
     # ----- camera placement from scene bbox (application.cpp:263-288).

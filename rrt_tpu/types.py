@@ -178,6 +178,9 @@ class SceneData:
     cluster_lo: Optional[jnp.ndarray] = None  # (K, 3)
     cluster_hi: Optional[jnp.ndarray] = None  # (K, 3)
     cluster_size: int = struct.field(pytree_node=False, default=64)
+    # number of LIVE sphere rows (the build pads dead rows at the tail to
+    # a fixed lane width); -1 = unknown → treat every row as live
+    n_live_spheres: int = struct.field(pytree_node=False, default=-1)
 
     @property
     def n_tris(self):

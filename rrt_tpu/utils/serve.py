@@ -14,6 +14,12 @@ A tiny stdlib HTTP server runs in a daemon thread and serves:
                 preview cadence. State lands in `self.control`, a dict
                 the renderer polls between passes
                 (`Renderer.render(control=...)`).
+  /accel.png    the interactive accel-structure walk overlay (when
+                constructed with `accel=AccelWalk(...)`) — the headless
+                analog of visualize_accel (`pathtracer.cpp:330-423`);
+                arrow keys on the page POST {"accel":"up"|"left"|
+                "right"} exactly like the reference's selection stack
+                (`pathtracer.cpp:520-534`).
 
 The renderer keeps writing its progressive preview PNG between passes
 (`Renderer.render(preview_path=...)`); the page re-fetches it every
@@ -47,9 +53,14 @@ button, input {{ background:#222; color:#ccc; border:1px solid #555;
     +document.getElementById('pe').value}})">set</button>
 </div>
 <img id="im" src="/preview.png">
+<div id="acd" style="display:none">
+  <div>accel walk: arrows navigate (↑ parent, ← child, → sibling)</div>
+  <div id="acs"></div>
+  <img id="ac" src="/accel.png">
+</div>
 <script>
 function ctl(body) {{
-  fetch('/control', {{method:'POST', body:JSON.stringify(body)}});
+  return fetch('/control', {{method:'POST', body:JSON.stringify(body)}});
 }}
 setInterval(() => {{
   fetch('/status.json').then(r => r.json()).then(s => {{
@@ -58,8 +69,21 @@ setInterval(() => {{
              : `rendering… ${{s.samples}}/${{s.total}} spp`;
     if (!s.done)
       document.getElementById('im').src = '/preview.png?' + Date.now();
+    if (s.accel) {{
+      document.getElementById('acd').style.display = 'block';
+      document.getElementById('acs').textContent =
+        `${{s.accel.level}} #${{s.accel.index}} ` +
+        `tris [${{s.accel.tri_rows}}] depth ${{s.accel.depth}}`;
+    }}
   }});
 }}, 1000);
+document.addEventListener('keydown', e => {{
+  const k = {{ArrowUp:'up', ArrowLeft:'left', ArrowRight:'right'}}[e.key];
+  if (!k) return;
+  e.preventDefault();
+  ctl({{accel:k}}).then(() =>
+    document.getElementById('ac').src = '/accel.png?' + Date.now());
+}});
 </script></body></html>"""
 
 
@@ -67,11 +91,13 @@ class PreviewServer:
     """Serve `png_path` + progress + a control channel on `port`
     (0 = ephemeral)."""
 
-    def __init__(self, png_path: str, port: int = 8000):
+    def __init__(self, png_path: str, port: int = 8000, accel=None):
         self.png_path = png_path
         self.status = {"samples": 0, "total": 0, "done": False}
         # written by POST /control, polled by Renderer.render(control=...)
         self.control: dict = {}
+        # optional interactive accel walk (utils/accel_walk.AccelWalk)
+        self.accel = accel
         outer = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
@@ -104,8 +130,13 @@ class PreviewServer:
                     if isinstance(req.get(key), (int, float)) \
                             and req[key] > 0:
                         outer.control[key] = int(req[key])
+                moved = False
+                if outer.accel is not None and req.get("accel") in (
+                        "up", "left", "right"):
+                    moved = outer.accel.key(req["accel"])
                 self._reply(json.dumps(
-                    {"ok": True, "control": outer.control}).encode(),
+                    {"ok": True, "control": outer.control,
+                     "moved": moved}).encode(),
                     "application/json")
 
             def do_GET(self):
@@ -123,8 +154,14 @@ class PreviewServer:
                         return
                     ctype = "image/png"
                 elif path == "/status.json":
-                    body = json.dumps(outer.status).encode()
+                    st = dict(outer.status)
+                    if outer.accel is not None:
+                        st["accel"] = outer.accel.status()
+                    body = json.dumps(st).encode()
                     ctype = "application/json"
+                elif path == "/accel.png" and outer.accel is not None:
+                    body = outer._accel_png()
+                    ctype = "image/png"
                 else:
                     self.send_response(404)
                     self.end_headers()
@@ -136,6 +173,37 @@ class PreviewServer:
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True)
+
+    def _accel_png(self) -> bytes:
+        """Rasterize the current accel-walk selection over the latest
+        preview frame (black if no preview yet)."""
+        import os
+        import tempfile
+
+        import numpy as np
+
+        from rrt_tpu.io.png import read_png, write_png
+        base = None
+        try:
+            b = read_png(self.png_path).astype(np.float32) / 255.0
+            base = b[..., :3] * 0.4          # dim, like the GL depth pass
+        except Exception:  # noqa: BLE001 — no preview yet
+            pass
+        img = self.accel.render(base)
+        rgba = np.concatenate(
+            [np.clip(img * 255.0, 0, 255).astype(np.uint8),
+             np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=-1)
+        fd, tmp = tempfile.mkstemp(suffix=".png")
+        os.close(fd)
+        try:
+            write_png(tmp, rgba)
+            with open(tmp, "rb") as f:
+                return f.read()
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def start(self):
         self._thread.start()

@@ -202,3 +202,55 @@ def test_serve_control_channel(tmp_path):
         assert r2.cancelled and r2.samples_done < cfg.ns_aa
     finally:
         srv.stop()
+
+
+def test_serve_accel_walk(tmp_path):
+    """Arrow-key accel-structure navigation over HTTP (the reference's
+    VISUALIZE-mode BVH walk, pathtracer.cpp:330-423 + :520-534): the
+    selection stack moves with up/left/right, /accel.png rasterizes the
+    selection, and the walk state is reported in /status.json."""
+    import json as _json
+    import urllib.request
+    from rrt_tpu.scene.build import load_scene
+    from rrt_tpu.utils.accel_walk import AccelWalk
+    from rrt_tpu.utils.serve import PreviewServer
+
+    scene, cam = load_scene(
+        "/root/reference/pathtracer/dae/sky/CBbunny.dae", 64, 48)
+    walk = AccelWalk(scene, cam)
+    assert walk.status()["level"] == "root"
+    # walk semantics mirror the reference's selection stack
+    assert not walk.key("up")                 # root stays put
+    assert walk.key("left")                   # push first child
+    assert walk.status()["level"] == "part"
+    assert walk.key("left")
+    assert walk.status()["level"] == "supercluster"
+    i0 = walk.status()["index"]
+    assert walk.key("right")                  # sibling advance
+    assert walk.status()["index"] != i0
+    assert walk.key("up")
+    assert walk.status()["level"] == "part"
+    # a leaf cluster covers exactly the kernel's cluster rows
+    while walk.key("left"):
+        pass
+    st = walk.status()
+    assert st["level"] == "cluster"
+    t0, t1 = st["tri_rows"]
+    assert 0 < t1 - t0 <= walk.h.cs
+
+    png = tmp_path / "p.png"
+    srv = PreviewServer(str(png), 0, accel=walk).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        st = _json.loads(
+            urllib.request.urlopen(base + "/status.json").read())
+        assert st["accel"]["level"] == "cluster"
+        body = _json.dumps({"accel": "up"}).encode()
+        r = _json.loads(urllib.request.urlopen(
+            urllib.request.Request(base + "/control", data=body),
+            ).read())
+        assert r["moved"]
+        img = urllib.request.urlopen(base + "/accel.png").read()
+        assert img[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        srv.stop()

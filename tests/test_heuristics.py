@@ -34,7 +34,7 @@ def test_cluster_size_on_shipped_scene_classes(monkeypatch):
         collada.load(f"{DAE}/sky/CBspheres_lambertian.dae"), 64, 64)
     big, _ = build_scene(collada.load(f"{DAE}/sky/CBbunny.dae"), 64, 64)
     assert tk._cs_k(small.n_tris) == 16
-    assert tk._cs_k(big.n_tris) == 32
+    assert tk._cs_k(big.n_tris) == 8
 
 
 def test_sort_gate_pinned():

