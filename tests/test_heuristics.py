@@ -55,3 +55,33 @@ def test_sort_gate_on_shipped_scene_classes():
     # sphere scene never pay for it
     assert tk._should_sort(512 * 512, int(big.cluster_lo.shape[0]))
     assert not tk._should_sort(1500, int(small.cluster_lo.shape[0]))
+
+
+def test_lazy_march_gate_pinned(monkeypatch):
+    """RRT_LAZY=auto resolves to lazy on single-part scenes and eager on
+    multi-part (r5b on-chip sweep: primary render 2.37 s lazy vs 2.42 s
+    eager; CBbunny 8spp proxy 8.98 s eager vs 9.23 s lazy). Pinned so a
+    refactor can't silently flip the default for either scene class."""
+    import importlib
+
+    monkeypatch.delenv("RRT_LAZY", raising=False)
+    importlib.reload(tk)
+    try:
+        assert tk._LAZY == "auto"
+        small, _ = build_scene(
+            collada.load(f"{DAE}/sky/CBspheres_lambertian.dae"), 64, 64)
+        big, _ = build_scene(collada.load(f"{DAE}/sky/CBbunny.dae"), 64, 64)
+        # single-part (<= one blocked part) -> lazy; bunny spans parts
+        assert small.n_tris <= tk.PART_TRIS
+        assert big.n_tris > tk.PART_TRIS
+        # the raw dispatcher derives n_parts from the scalar-sweep
+        # PART_TRIS for the default v3 kernel
+        n_parts_small = max(1, -(-small.n_tris // tk.PART_TRIS))
+        n_parts_big = max(1, -(-big.n_tris // tk.PART_TRIS))
+        assert n_parts_small == 1 and n_parts_big > 1
+        monkeypatch.setenv("RRT_LAZY", "0")
+        importlib.reload(tk)
+        assert tk._LAZY == "0"
+    finally:
+        monkeypatch.delenv("RRT_LAZY", raising=False)
+        importlib.reload(tk)
